@@ -1,0 +1,28 @@
+"""Model registry.
+
+The reference resolves model classes from YAML type strings via getattr
+reflection (/root/reference/harana/bin/train_fastsvc.py:700-717). Here the
+registry is an explicit dict of factory callables keyed by the same YAML
+names, so reference configs keep working.
+"""
+
+from .fastsvc import (  # noqa: F401
+    FastSVCGenerator,
+    MelGANMultiScaleDiscriminator,
+    HiFiGANMultiScaleMultiPeriodDiscriminator,
+)
+
+MODEL_REGISTRY = {
+    "FastSVCGenerator": FastSVCGenerator,
+    "MelGANMultiScaleDiscriminator": MelGANMultiScaleDiscriminator,
+    "HiFiGANMultiScaleMultiPeriodDiscriminator": HiFiGANMultiScaleMultiPeriodDiscriminator,
+}
+
+
+def get_model(name: str):
+    try:
+        return MODEL_REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown model type {name!r}; known: {sorted(MODEL_REGISTRY)}"
+        ) from None

@@ -1,0 +1,684 @@
+"""FastSVC generator + GAN discriminators, TPU-native.
+
+Functional re-design of the reference architecture
+(/root/reference/harana/models/fastsvc.py) in channels-last (B, T, C) layout:
+every model is a frozen dataclass of static hyperparameters with
+``init(key) -> params`` and ``apply(params, ...) -> outputs`` pure functions,
+so the whole forward/backward jits into a single XLA computation.
+
+Deviations from the reference implementation (same math):
+  * the sine/loudness downsampling chains are computed once per forward and
+    their intermediate taps reused, instead of re-running the chain from
+    scratch for every upsampling block (reference ``downsampling_loop``,
+    fastsvc.py:334-340, is O(n²) in chain depth);
+  * weight norm is a {"v","g"} parameterization materialized inside the step
+    (fold_weight_norm bakes it for inference = reference remove_weight_norm);
+  * channels-last everywhere so convs lower to MXU matmuls.
+
+Faithfully kept quirks:
+  * the reference only weight-norms torch Conv1d/Conv2d modules, so the
+    Linear speaker-embedding projector is plain (fastsvc.py:354-362);
+  * HiFiGANScaleDiscriminator's weight/spectral-norm application tests
+    ``isinstance(m, nn.Conv2d)`` against Conv1d layers and therefore never
+    applies (fastsvc.py:957-975) — scale discriminators are plain convs,
+    period discriminators (true Conv2d) are weight-normed.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.conv import (
+    avg_pool1d,
+    conv1d,
+    conv1d_init,
+    conv2d,
+    conv2d_init,
+    conv_weight,
+    instance_norm,
+    l2_normalize,
+    leaky_relu,
+    linear,
+    linear_init,
+    reflect_pad1d,
+    wn_init,
+)
+from ..ops.resample import nearest_downsample, nearest_upsample
+
+
+def _maybe_wn(params, use_wn: bool):
+    return wn_init(params) if use_wn else params
+
+
+def _conv(x, p, **kw):
+    return conv1d(x, conv_weight(p), p.get("b"), **kw)
+
+
+def _conv2(x, p, **kw):
+    return conv2d(x, conv_weight(p), p.get("b"), **kw)
+
+
+# ---------------------------------------------------------------------------
+# Generator building blocks (paper Fig. 4; reference fastsvc.py:34-232).
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class UpsampleBlock:
+    """FastSVC upsampling block (Fig. 4a; reference fastsvc.py:34-140)."""
+
+    in_channels: int
+    mid_channels: int
+    scale: int
+    spk_emb_size: int = 512
+    use_spk_emb: bool = True
+    use_weight_norm: bool = True
+
+    def init(self, key):
+        ks = jax.random.split(key, 8)
+        C_in, C = self.in_channels, self.mid_channels
+        wn = self.use_weight_norm
+        p = {
+            "conv_first": _maybe_wn(conv1d_init(ks[0], 3, C_in, C), wn),
+            "up_conv": _maybe_wn(conv1d_init(ks[1], 3, C, C), wn),
+            "conv1": _maybe_wn(conv1d_init(ks[2], 3, C, C), wn),
+            "conv2": _maybe_wn(conv1d_init(ks[3], 3, C, C), wn),
+            "conv3": _maybe_wn(conv1d_init(ks[4], 3, C, C), wn),
+            "res_conv": _maybe_wn(conv1d_init(ks[5], 3, C, C), wn),
+        }
+        if self.use_spk_emb:
+            p["emb_projector"] = linear_init(ks[6], self.spk_emb_size, C)
+        return p
+
+    def _affine(self, p, x, sine, lft, spk_emb):
+        s_scale, s_shift = sine
+        l_scale, l_shift = lft
+        x = (s_scale + l_scale) * x + (s_shift + l_shift)
+        if spk_emb is not None and self.use_spk_emb:
+            proj = linear(l2_normalize(spk_emb, axis=-1), p["emb_projector"])
+            x = instance_norm(x, axis=1) + proj[:, None, :]
+        return x
+
+    def apply(self, p, x, sine, lft, spk_emb=None):
+        """x: (B, T, C_in); sine/lft: FiLM (scale, shift) pairs at (B, T*s, C)."""
+        x = _conv(x, p["conv_first"], padding=1)
+        xr = _conv(nearest_upsample(x, self.scale), p["res_conv"], padding=1)
+
+        h = leaky_relu(x)
+        h = nearest_upsample(h, self.scale)
+        h = leaky_relu(_conv(h, p["up_conv"], padding=1))
+        h = self._affine(p, h, sine, lft, spk_emb)
+        h = _conv(leaky_relu(h), p["conv1"], padding=3, dilation=3)
+
+        x_ = h + xr
+
+        h = self._affine(p, x_, sine, lft, spk_emb)
+        h = _conv(leaky_relu(h), p["conv2"], padding=9, dilation=9)
+        h = self._affine(p, h, sine, lft, spk_emb)
+        h = _conv(leaky_relu(h), p["conv3"], padding=27, dilation=27)
+        return h + x_
+
+
+@dataclass(frozen=True)
+class DownsampleBlock:
+    """FastSVC downsampling block (Fig. 4b; reference fastsvc.py:143-193)."""
+
+    in_channels: int
+    mid_channels: int
+    scale: int
+    use_weight_norm: bool = True
+
+    def init(self, key):
+        ks = jax.random.split(key, 4)
+        C_in, C = self.in_channels, self.mid_channels
+        wn = self.use_weight_norm
+        return {
+            "res_conv": _maybe_wn(conv1d_init(ks[0], 1, C_in, C), wn),
+            "conv1": _maybe_wn(conv1d_init(ks[1], 3, C_in, C), wn),
+            "conv2": _maybe_wn(conv1d_init(ks[2], 3, C, C), wn),
+            "conv3": _maybe_wn(conv1d_init(ks[3], 3, C, C), wn),
+        }
+
+    def apply(self, p, x):
+        r = nearest_downsample(_conv(x, p["res_conv"]), self.scale)
+        h = nearest_downsample(x, self.scale)
+        h = _conv(leaky_relu(h), p["conv1"], padding=1, dilation=1)
+        h = _conv(leaky_relu(h), p["conv2"], padding=2, dilation=2)
+        h = _conv(leaky_relu(h), p["conv3"], padding=4, dilation=4)
+        return h + r
+
+
+@dataclass(frozen=True)
+class FiLMBlock:
+    """FastSVC FiLM block (Fig. 4c; reference fastsvc.py:196-232)."""
+
+    channels: int
+    use_weight_norm: bool = True
+
+    def init(self, key):
+        ks = jax.random.split(key, 3)
+        C = self.channels
+        wn = self.use_weight_norm
+        return {
+            "conv": _maybe_wn(conv1d_init(ks[0], 3, C, C), wn),
+            "conv_scale": _maybe_wn(conv1d_init(ks[1], 3, C, C), wn),
+            "conv_shift": _maybe_wn(conv1d_init(ks[2], 3, C, C), wn),
+        }
+
+    def apply(self, p, x):
+        h = leaky_relu(_conv(x, p["conv"], padding=1))
+        return (
+            _conv(h, p["conv_scale"], padding=1),
+            _conv(h, p["conv_shift"], padding=1),
+        )
+
+
+@dataclass(frozen=True)
+class FastSVCGenerator:
+    """FastSVC waveform generator (paper Fig. 3; reference fastsvc.py:235-383).
+
+    PPG frames (B, T', in_channels) + sample-rate sine/loudness signals
+    (B, T'*hop, 1) + speaker embedding (B, spk_emb_size) → waveform
+    (B, T'*hop, out_channels), hop = prod(upsampling_scales).
+    """
+
+    in_channels: int = 144
+    mid_channels: Sequence[int] = (192, 96, 48, 24)
+    upsampling_scales: Sequence[int] = (2, 4, 4, 5)
+    out_channels: int = 1
+    spk_emb_size: int = 512
+    use_spk_emb: bool = True
+    use_weight_norm: bool = True
+
+    def __post_init__(self):
+        object.__setattr__(self, "mid_channels", tuple(self.mid_channels))
+        object.__setattr__(
+            self, "upsampling_scales", tuple(self.upsampling_scales)
+        )
+
+    @property
+    def hop_size(self) -> int:
+        return math.prod(self.upsampling_scales)
+
+    def _up_blocks(self):
+        blocks, c_in = [], self.in_channels
+        for scale, c in zip(self.upsampling_scales, self.mid_channels):
+            blocks.append(
+                UpsampleBlock(
+                    c_in, c, scale, self.spk_emb_size, self.use_spk_emb,
+                    self.use_weight_norm,
+                )
+            )
+            c_in = c
+        return blocks
+
+    def _down_blocks(self):
+        # Reference fastsvc.py:269-287: scales = reversed upsampling scales
+        # with the last dropped and 1 prepended; channels reversed.
+        scales = [1] + list(self.upsampling_scales[::-1][:-1])
+        blocks, c_in = [], 1
+        for scale, c in zip(scales, self.mid_channels[::-1]):
+            blocks.append(
+                DownsampleBlock(c_in, c, scale, self.use_weight_norm)
+            )
+            c_in = c
+        return blocks
+
+    def init(self, key):
+        ups = self._up_blocks()
+        downs = self._down_blocks()
+        n_keys = len(ups) + 2 * len(downs) + 2 * len(downs) + 1
+        ks = list(jax.random.split(key, n_keys))
+        p = {
+            "up": [b.init(ks.pop(0)) for b in ups],
+            "down_lft": [b.init(ks.pop(0)) for b in downs],
+            "down_sine": [b.init(ks.pop(0)) for b in downs],
+            "film_lft": [
+                FiLMBlock(c, self.use_weight_norm).init(ks.pop(0))
+                for c in self.mid_channels[::-1]
+            ],
+            "film_sine": [
+                FiLMBlock(c, self.use_weight_norm).init(ks.pop(0))
+                for c in self.mid_channels[::-1]
+            ],
+            "conv_last": _maybe_wn(
+                conv1d_init(
+                    ks.pop(0), 1, self.mid_channels[-1], self.out_channels
+                ),
+                self.use_weight_norm,
+            ),
+        }
+        return p
+
+    def apply(self, p, ppg, sine, lft, spk_emb=None):
+        """Forward pass.
+
+        Args:
+            ppg: (B, T', in_channels) linguistic features.
+            sine: (B, T, 1) excitation, T = T' * hop_size.
+            lft: (B, T, 1) loudness, same rate as sine.
+            spk_emb: (B, spk_emb_size) or None.
+        Returns:
+            (B, T, out_channels) waveform.
+        """
+        downs = self._down_blocks()
+        films = [FiLMBlock(c, self.use_weight_norm) for c in self.mid_channels[::-1]]
+
+        # Single pass over each downsampling chain, keeping every tap
+        # (reference recomputes the chain prefix per upsampling block).
+        lft_taps, h = [], lft
+        for blk, bp in zip(downs, p["down_lft"]):
+            h = blk.apply(bp, h)
+            lft_taps.append(h)
+        sine_taps, h = [], sine
+        for blk, bp in zip(downs, p["down_sine"]):
+            h = blk.apply(bp, h)
+            sine_taps.append(h)
+
+        x = ppg
+        n = len(self.upsampling_scales)
+        for idx, (blk, bp) in enumerate(zip(self._up_blocks(), p["up"])):
+            didx = n - idx - 1
+            lft_film = films[didx].apply(p["film_lft"][didx], lft_taps[didx])
+            sine_film = films[didx].apply(p["film_sine"][didx], sine_taps[didx])
+            x = blk.apply(bp, x, sine_film, lft_film, spk_emb)
+
+        return _conv(x, p["conv_last"])
+
+    def inference(self, p, ppg, f0, lft, signal_generator, spk_emb=None, key=None):
+        """Single/batched utterance inference (reference fastsvc.py:364-383).
+
+        ppg: (T', C) or (B, T', C); f0/lft: (T,1)/(T',1) frame- or
+        sample-rate as in the reference call sites.
+        """
+        if ppg.ndim == 2:
+            ppg, f0, lft = ppg[None], f0[None], lft[None]
+            if spk_emb is not None and spk_emb.ndim == 1:
+                spk_emb = spk_emb[None]
+            squeeze = True
+        else:
+            squeeze = False
+        sine = signal_generator(f0, key)
+        out = self.apply(p, ppg, sine, lft, spk_emb)
+        return out[0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# MelGAN multi-scale discriminator (reference fastsvc.py:386-628).
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MelGANDiscriminator:
+    """Single-scale MelGAN discriminator (reference fastsvc.py:386-497)."""
+
+    in_channels: int = 1
+    out_channels: int = 1
+    kernel_sizes: Sequence[int] = (5, 3)
+    channels: int = 16
+    max_downsample_channels: int = 1024
+    downsample_scales: Sequence[int] = (4, 4, 4, 4)
+    negative_slope: float = 0.2
+    use_weight_norm: bool = True
+
+    def _layer_defs(self):
+        """[(kind, kwargs)] describing each conv layer."""
+        k0, k1 = self.kernel_sizes
+        defs = [
+            dict(k=k0 * k1, cin=self.in_channels, cout=self.channels,
+                 stride=1, pad=0, groups=1, reflect=(k0 * k1 - 1) // 2)
+        ]
+        in_chs = self.channels
+        for s in self.downsample_scales:
+            out_chs = min(in_chs * s, self.max_downsample_channels)
+            defs.append(
+                dict(k=s * 10 + 1, cin=in_chs, cout=out_chs, stride=s,
+                     pad=s * 5, groups=in_chs // 4, reflect=0)
+            )
+            in_chs = out_chs
+        out_chs = min(in_chs * 2, self.max_downsample_channels)
+        defs.append(
+            dict(k=k0, cin=in_chs, cout=out_chs, stride=1,
+                 pad=(k0 - 1) // 2, groups=1, reflect=0)
+        )
+        defs.append(
+            dict(k=k1, cin=out_chs, cout=self.out_channels, stride=1,
+                 pad=(k1 - 1) // 2, groups=1, reflect=0)
+        )
+        return defs
+
+    def init(self, key):
+        defs = self._layer_defs()
+        ks = jax.random.split(key, len(defs))
+        return {
+            "layers": [
+                _maybe_wn(
+                    conv1d_init(k, d["k"], d["cin"], d["cout"], groups=d["groups"]),
+                    self.use_weight_norm,
+                )
+                for k, d in zip(ks, defs)
+            ]
+        }
+
+    def apply(self, p, x):
+        """x: (B, T, 1) → list of per-layer outputs (last = logits)."""
+        outs = []
+        defs = self._layer_defs()
+        for i, (d, lp) in enumerate(zip(defs, p["layers"])):
+            if d["reflect"]:
+                x = reflect_pad1d(x, d["reflect"])
+            x = _conv(x, lp, stride=d["stride"], padding=d["pad"], groups=d["groups"])
+            if i < len(defs) - 1:  # final layer has no activation
+                x = leaky_relu(x, self.negative_slope)
+            outs.append(x)
+        return outs
+
+
+@dataclass(frozen=True)
+class MelGANMultiScaleDiscriminator:
+    """MelGAN multi-scale discriminator (reference fastsvc.py:500-628)."""
+
+    in_channels: int = 1
+    out_channels: int = 1
+    scales: int = 3
+    kernel_sizes: Sequence[int] = (5, 3)
+    channels: int = 16
+    max_downsample_channels: int = 1024
+    downsample_scales: Sequence[int] = (4, 4, 4, 4)
+    pooling_kernel: int = 4
+    pooling_stride: int = 2
+    pooling_padding: int = 1
+    negative_slope: float = 0.2
+    use_weight_norm: bool = True
+
+    @classmethod
+    def from_config(cls, params: dict) -> "MelGANMultiScaleDiscriminator":
+        """Build from a reference-style YAML param dict (conf/fastsvc.yaml:35-52)."""
+        pool = params.get("downsample_pooling_params", {})
+        act = params.get("nonlinear_activation_params", {})
+        return cls(
+            in_channels=params.get("in_channels", 1),
+            out_channels=params.get("out_channels", 1),
+            scales=params.get("scales", 3),
+            kernel_sizes=tuple(params.get("kernel_sizes", (5, 3))),
+            channels=params.get("channels", 16),
+            max_downsample_channels=params.get("max_downsample_channels", 1024),
+            downsample_scales=tuple(params.get("downsample_scales", (4, 4, 4, 4))),
+            pooling_kernel=pool.get("kernel_size", 4),
+            pooling_stride=pool.get("stride", 2),
+            pooling_padding=pool.get("padding", 1),
+            negative_slope=act.get("negative_slope", 0.2),
+            use_weight_norm=params.get("use_weight_norm", True),
+        )
+
+    def _sub(self):
+        return MelGANDiscriminator(
+            in_channels=self.in_channels,
+            out_channels=self.out_channels,
+            kernel_sizes=self.kernel_sizes,
+            channels=self.channels,
+            max_downsample_channels=self.max_downsample_channels,
+            downsample_scales=self.downsample_scales,
+            negative_slope=self.negative_slope,
+            use_weight_norm=self.use_weight_norm,
+        )
+
+    def init(self, key):
+        sub = self._sub()
+        return {
+            "discriminators": [
+                sub.init(k) for k in jax.random.split(key, self.scales)
+            ]
+        }
+
+    def apply(self, p, x):
+        """x: (B, T, 1) → list (per scale) of lists of layer outputs."""
+        sub = self._sub()
+        outs = []
+        for dp in p["discriminators"]:
+            outs.append(sub.apply(dp, x))
+            x = avg_pool1d(
+                x,
+                self.pooling_kernel,
+                self.pooling_stride,
+                self.pooling_padding,
+                count_include_pad=False,
+            )
+        return outs
+
+
+# ---------------------------------------------------------------------------
+# HiFiGAN discriminators (reference fastsvc.py:631-1143).
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class HiFiGANPeriodDiscriminator:
+    """HiFiGAN period discriminator (reference fastsvc.py:631-759)."""
+
+    in_channels: int = 1
+    out_channels: int = 1
+    period: int = 3
+    kernel_sizes: Sequence[int] = (5, 3)
+    channels: int = 32
+    downsample_scales: Sequence[int] = (3, 3, 3, 3, 1)
+    max_downsample_channels: int = 1024
+    negative_slope: float = 0.1
+    use_weight_norm: bool = True
+
+    def _layer_defs(self):
+        defs = []
+        in_chs, out_chs = self.in_channels, self.channels
+        for s in self.downsample_scales:
+            defs.append(dict(cin=in_chs, cout=out_chs, stride=s))
+            in_chs = out_chs
+            out_chs = min(out_chs * 4, self.max_downsample_channels)
+        return defs, out_chs
+
+    def init(self, key):
+        defs, last_in = self._layer_defs()
+        ks = jax.random.split(key, len(defs) + 1)
+        k0, k1 = self.kernel_sizes
+        p = {
+            "convs": [
+                _maybe_wn(
+                    conv2d_init(k, (k0, 1), d["cin"], d["cout"]),
+                    self.use_weight_norm,
+                )
+                for k, d in zip(ks[:-1], defs)
+            ],
+            "output_conv": _maybe_wn(
+                conv2d_init(ks[-1], (k1 - 1, 1), last_in, self.out_channels),
+                self.use_weight_norm,
+            ),
+        }
+        return p
+
+    def apply(self, p, x, return_fmaps: bool = False):
+        """x: (B, T, C) waveform → flattened logits (B, N)."""
+        B, T, C = x.shape
+        if T % self.period != 0:
+            n_pad = self.period - (T % self.period)
+            x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)), mode="reflect")
+            T += n_pad
+        # (B, T, C) → (B, T/P, P, C): NHWC with H=T/P, W=P.
+        x = x.reshape(B, T // self.period, self.period, C)
+
+        k0, k1 = self.kernel_sizes
+        defs, _ = self._layer_defs()
+        fmaps = []
+        for d, cp in zip(defs, p["convs"]):
+            x = _conv2(
+                x, cp, stride=(d["stride"], 1),
+                padding=(((k0 - 1) // 2, (k0 - 1) // 2), (0, 0)),
+            )
+            x = leaky_relu(x, self.negative_slope)
+            if return_fmaps:
+                fmaps.append(x)
+        x = _conv2(
+            x, p["output_conv"],
+            padding=(((k1 - 1) // 2, (k1 - 1) // 2), (0, 0)),
+        )
+        out = x.reshape(B, -1)
+        return (out, fmaps) if return_fmaps else out
+
+
+@dataclass(frozen=True)
+class HiFiGANScaleDiscriminator:
+    """HiFiGAN scale discriminator (reference fastsvc.py:818-975).
+
+    NB: the reference's weight/spectral-norm application is a no-op on these
+    Conv1d layers (isinstance check against Conv2d, fastsvc.py:957-975), so
+    this discriminator deliberately has NO weight norm.
+    """
+
+    in_channels: int = 1
+    out_channels: int = 1
+    kernel_sizes: Sequence[int] = (15, 41, 5, 3)
+    channels: int = 128
+    max_downsample_channels: int = 1024
+    max_groups: int = 16
+    downsample_scales: Sequence[int] = (2, 2, 4, 4, 1)
+    negative_slope: float = 0.1
+
+    def _layer_defs(self):
+        k = self.kernel_sizes
+        defs = [
+            dict(k=k[0], cin=self.in_channels, cout=self.channels,
+                 stride=1, pad=(k[0] - 1) // 2, groups=1)
+        ]
+        in_chs = out_chs = self.channels
+        groups = 4
+        for s in self.downsample_scales:
+            defs.append(
+                dict(k=k[1], cin=in_chs, cout=out_chs, stride=s,
+                     pad=(k[1] - 1) // 2, groups=groups)
+            )
+            in_chs = out_chs
+            out_chs = min(in_chs * 2, self.max_downsample_channels)
+            groups = min(groups * 4, self.max_groups)
+        out_chs = min(in_chs * 2, self.max_downsample_channels)
+        defs.append(
+            dict(k=k[2], cin=in_chs, cout=out_chs, stride=1,
+                 pad=(k[2] - 1) // 2, groups=1)
+        )
+        defs.append(
+            dict(k=k[3], cin=out_chs, cout=self.out_channels, stride=1,
+                 pad=(k[3] - 1) // 2, groups=1)
+        )
+        return defs
+
+    def init(self, key):
+        defs = self._layer_defs()
+        ks = jax.random.split(key, len(defs))
+        return {
+            "layers": [
+                conv1d_init(k, d["k"], d["cin"], d["cout"], groups=d["groups"])
+                for k, d in zip(ks, defs)
+            ]
+        }
+
+    def apply(self, p, x, return_fmaps: bool = False):
+        defs = self._layer_defs()
+        fmaps = []
+        for i, (d, lp) in enumerate(zip(defs, p["layers"])):
+            x = _conv(x, lp, stride=d["stride"], padding=d["pad"], groups=d["groups"])
+            if i < len(defs) - 1:
+                x = leaky_relu(x, self.negative_slope)
+                if return_fmaps:
+                    fmaps.append(x)
+        return (x, fmaps) if return_fmaps else x
+
+
+@dataclass(frozen=True)
+class HiFiGANMultiScaleMultiPeriodDiscriminator:
+    """Combined MSD + MPD (reference fastsvc.py:1055-1143)."""
+
+    scales: int = 3
+    pooling_kernel: int = 4
+    pooling_stride: int = 2
+    pooling_padding: int = 2
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+    scale_params: dict = field(default_factory=dict)
+    period_params: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_config(cls, params: dict) -> "HiFiGANMultiScaleMultiPeriodDiscriminator":
+        pool = params.get("scale_downsample_pooling_params", {})
+        return cls(
+            scales=params.get("scales", 3),
+            pooling_kernel=pool.get("kernel_size", 4),
+            pooling_stride=pool.get("stride", 2),
+            pooling_padding=pool.get("padding", 2),
+            periods=tuple(params.get("periods", (2, 3, 5, 7, 11))),
+            scale_params=params.get("scale_discriminator_params", {}),
+            period_params=params.get("period_discriminator_params", {}),
+        )
+
+    def _scale_sub(self):
+        sp = dict(self.scale_params)
+        sp.pop("bias", None)
+        act = sp.pop("nonlinear_activation_params", {})
+        sp.pop("nonlinear_activation", None)
+        sp.pop("use_weight_norm", None)
+        sp.pop("use_spectral_norm", None)
+        for k in ("kernel_sizes", "downsample_scales"):
+            if k in sp:
+                sp[k] = tuple(sp[k])
+        return HiFiGANScaleDiscriminator(
+            negative_slope=act.get("negative_slope", 0.1), **sp
+        )
+
+    def _period_sub(self, period):
+        pp = dict(self.period_params)
+        pp.pop("bias", None)
+        act = pp.pop("nonlinear_activation_params", {})
+        pp.pop("nonlinear_activation", None)
+        pp.pop("use_spectral_norm", None)
+        for k in ("kernel_sizes", "downsample_scales"):
+            if k in pp:
+                pp[k] = tuple(pp[k])
+        return HiFiGANPeriodDiscriminator(
+            period=period, negative_slope=act.get("negative_slope", 0.1), **pp
+        )
+
+    def init(self, key):
+        k_msd, k_mpd = jax.random.split(key)
+        msd = self._scale_sub()
+        return {
+            "msd": [msd.init(k) for k in jax.random.split(k_msd, self.scales)],
+            "mpd": [
+                self._period_sub(p).init(k)
+                for p, k in zip(
+                    self.periods, jax.random.split(k_mpd, len(self.periods))
+                )
+            ],
+        }
+
+    def apply(self, p, x, return_fmaps: bool = False):
+        msd = self._scale_sub()
+        outs, fmaps = [], []
+        h = x
+        for dp in p["msd"]:
+            r = msd.apply(dp, h, return_fmaps)
+            if return_fmaps:
+                outs.append(r[0])
+                fmaps.extend(r[1])
+            else:
+                outs.append(r)
+            h = avg_pool1d(
+                h, self.pooling_kernel, self.pooling_stride, self.pooling_padding
+            )
+        for period, dp in zip(self.periods, p["mpd"]):
+            r = self._period_sub(period).apply(dp, x, return_fmaps)
+            if return_fmaps:
+                outs.append(r[0])
+                fmaps.extend(r[1])
+            else:
+                outs.append(r)
+        return (outs, fmaps) if return_fmaps else outs

@@ -1,0 +1,45 @@
+"""Nearest-neighbor time resampling with torch F.interpolate index math.
+
+The reference's Stretch2d / Squeeze2d layers
+(/root/reference/harana/layers/upsample.py:21-74) are both
+`F.interpolate(mode="nearest")` on the time axis. torch's nearest rule is
+src_idx = floor(dst_idx * (in_size / out_size)), with the ratio computed in
+double precision. We replicate that exactly with statically precomputed
+gather indices (shapes are static under jit, so the index vector is a
+compile-time constant — XLA turns it into a gather / repeat).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
+    scale = in_size / out_size  # double precision, like torch
+    idx = np.floor(np.arange(out_size, dtype=np.float64) * scale).astype(np.int64)
+    return np.minimum(idx, in_size - 1)
+
+
+def nearest_resize(x, out_size: int, *, axis: int = 1):
+    """Resize `axis` of x to `out_size` with torch-nearest semantics."""
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    if out_size % in_size == 0:
+        # Integer upsample: pure repeat — cheaper than gather on TPU.
+        return jnp.repeat(x, out_size // in_size, axis=axis)
+    idx = jnp.asarray(_nearest_indices(in_size, out_size))
+    return jnp.take(x, idx, axis=axis)
+
+
+def nearest_upsample(x, scale: int, *, axis: int = 1):
+    """Stretch2d(scale, 1) semantics: nearest upsample by an integer factor."""
+    return jnp.repeat(x, scale, axis=axis)
+
+
+def nearest_downsample(x, scale, *, axis: int = 1):
+    """Squeeze2d(scale) semantics: out_size = int(in_size / scale)."""
+    in_size = x.shape[axis]
+    out_size = int(in_size / scale)
+    return nearest_resize(x, out_size, axis=axis)

@@ -1,0 +1,186 @@
+"""FastSVC GAN train step — jitted, phase-separated, mesh-shardable.
+
+Reference hot loop: /root/reference/harana/bin/train_fastsvc.py:157-235.
+Two training phases gated on step count (discriminator_train_start_steps,
+conf/fastsvc.yaml:110):
+
+  phase "gen"  (step <= start): G update on multi-res STFT loss only.
+  phase "gan"  (step >  start): G update on STFT + lambda_adv * adv(D(y_));
+               then y_ regenerated with the UPDATED generator (reference's
+               "re-compute y_ which leads better quality", :213-215) and a
+               D update on real/fake LSGAN losses.
+
+TPU-first design decisions:
+  * no Python branching on the step inside jit — the driver picks one of two
+    compiled step functions per phase (each is a single XLA program);
+  * the sine excitation is generated inside the step from the frame-rate F0
+    batch (the reference builds it in the CPU collater, train_fastsvc.py:
+    545-546) — cumsum at sample rate is trivial on the VPU and it removes
+    a (B, 16000) host->device transfer per step;
+  * both G and D phases run under one jit with donated state, so XLA
+    overlaps the two backward passes' HBM traffic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import (
+    MultiResolutionSTFTLoss,
+    discriminator_adversarial_loss,
+    generator_adversarial_loss,
+)
+from ..ops.signal_gen import SignalGenerator
+from .state import GANTrainState
+
+
+@dataclass(frozen=True)
+class FastSVCTrainTask:
+    """Bundles models + losses + optimizers into jittable step functions.
+
+    `generator` / `discriminator` are the frozen model dataclasses from
+    svcc23_fastsvc_tpu.models; `g_tx` / `d_tx` optax transforms.
+    """
+
+    generator: Any
+    discriminator: Any
+    g_tx: optax.GradientTransformation
+    d_tx: optax.GradientTransformation
+    signal_generator: SignalGenerator
+    stft_loss: MultiResolutionSTFTLoss = MultiResolutionSTFTLoss()
+    lambda_adv: float = 2.5
+    lambda_aux: float = 1.0
+    adv_loss_type: str = "mse"
+    use_stft_loss: bool = True
+
+    # ------------------------------------------------------------------
+    # state
+    # ------------------------------------------------------------------
+
+    def init_state(self, key) -> GANTrainState:
+        kg, kd, kr = jax.random.split(key, 3)
+        return GANTrainState.create(
+            g_params=self.generator.init(kg),
+            d_params=self.discriminator.init(kd),
+            g_tx=self.g_tx,
+            d_tx=self.d_tx,
+            rng=kr,
+        )
+
+    # ------------------------------------------------------------------
+    # pieces
+    # ------------------------------------------------------------------
+
+    def _forward(self, g_params, batch, key):
+        sine = self.signal_generator(batch["f0"], key)
+        return self.generator.apply(
+            g_params, batch["ppg"], sine, batch["lft"], batch.get("spk_emb")
+        )
+
+    def _gen_loss(self, g_params, d_params, batch, key, *, with_adv: bool):
+        y_hat = self._forward(g_params, batch, key)
+        y = batch["audio"]
+        metrics = {}
+        gen_loss = 0.0
+        if self.use_stft_loss:
+            sc, mag = self.stft_loss(y_hat[..., 0], y[..., 0])
+            gen_loss = sc + mag
+            metrics["spectral_convergence_loss"] = sc
+            metrics["log_stft_magnitude_loss"] = mag
+        gen_loss = gen_loss * self.lambda_aux
+        if with_adv:
+            p_hat = self.discriminator.apply(d_params, y_hat)
+            adv = generator_adversarial_loss(p_hat, loss_type=self.adv_loss_type)
+            metrics["adversarial_loss"] = adv
+            gen_loss = gen_loss + self.lambda_adv * adv
+        metrics["generator_loss"] = gen_loss
+        return gen_loss, metrics
+
+    def _dis_loss(self, d_params, y, y_hat):
+        p = self.discriminator.apply(d_params, y)
+        p_hat = self.discriminator.apply(d_params, y_hat)
+        real, fake = discriminator_adversarial_loss(
+            p_hat, p, loss_type=self.adv_loss_type
+        )
+        return real + fake, {"real_loss": real, "fake_loss": fake,
+                             "discriminator_loss": real + fake}
+
+    # ------------------------------------------------------------------
+    # step functions (jit these; see jit_steps)
+    # ------------------------------------------------------------------
+
+    def gen_step(self, state: GANTrainState, batch) -> tuple:
+        """Phase A: generator-only update."""
+        rng, k_sine = jax.random.split(state.rng)
+        grads, metrics = jax.grad(
+            lambda p: self._gen_loss(p, state.d_params, batch, k_sine, with_adv=False),
+            has_aux=True,
+        )(state.g_params)
+        updates, g_opt_state = self.g_tx.update(
+            grads, state.g_opt_state, state.g_params
+        )
+        g_params = optax.apply_updates(state.g_params, updates)
+        new_state = state.replace(
+            step=state.step + 1, g_params=g_params,
+            g_opt_state=g_opt_state, rng=rng,
+        )
+        return new_state, metrics
+
+    def gan_step(self, state: GANTrainState, batch) -> tuple:
+        """Phase B: generator update with adversarial term + D update."""
+        rng, k_sine, k_sine2 = jax.random.split(state.rng, 3)
+        grads, metrics = jax.grad(
+            lambda p: self._gen_loss(p, state.d_params, batch, k_sine, with_adv=True),
+            has_aux=True,
+        )(state.g_params)
+        updates, g_opt_state = self.g_tx.update(
+            grads, state.g_opt_state, state.g_params
+        )
+        g_params = optax.apply_updates(state.g_params, updates)
+
+        # regenerate with the updated generator, grads stopped (ref :213-215)
+        y_hat = jax.lax.stop_gradient(self._forward(g_params, batch, k_sine2))
+        d_grads, d_metrics = jax.grad(
+            lambda p: self._dis_loss(p, batch["audio"], y_hat), has_aux=True
+        )(state.d_params)
+        d_updates, d_opt_state = self.d_tx.update(
+            d_grads, state.d_opt_state, state.d_params
+        )
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        metrics.update(d_metrics)
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params, g_opt_state=g_opt_state,
+            d_params=d_params, d_opt_state=d_opt_state,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    def eval_step(self, state: GANTrainState, batch, *, with_adv: bool = True):
+        """Loss evaluation without updates (reference _eval_step)."""
+        _, k_sine = jax.random.split(state.rng)
+        _, metrics = self._gen_loss(
+            state.g_params, state.d_params, batch, k_sine, with_adv=with_adv
+        )
+        if with_adv:
+            y_hat = self._forward(state.g_params, batch, k_sine)
+            _, d_metrics = self._dis_loss(state.d_params, batch["audio"], y_hat)
+            metrics.update(d_metrics)
+        return metrics
+
+    # ------------------------------------------------------------------
+
+    def jit_steps(self, *, donate: bool = True):
+        """Return (gen_step, gan_step) jitted with state donation."""
+        kw = dict(donate_argnums=(0,)) if donate else {}
+        return (
+            jax.jit(self.gen_step, **kw),
+            jax.jit(self.gan_step, **kw),
+        )

@@ -1,0 +1,162 @@
+"""Golden tests for core ops against torch primitives (the numerics the
+reference models are built from)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from svcc23_fastsvc_tpu.ops import (
+    avg_pool1d,
+    conv1d,
+    hann_window,
+    instance_norm,
+    leaky_relu,
+    nearest_downsample,
+    nearest_resize,
+    nearest_upsample,
+    reflect_pad1d,
+    stft_magnitude,
+)
+from svcc23_fastsvc_tpu.ops.signal_gen import SignalGenerator
+
+RNG = np.random.default_rng(0)
+
+
+def _t(x):  # (B, T, C) numpy -> torch (B, C, T)
+    return torch.from_numpy(np.ascontiguousarray(np.moveaxis(x, -1, 1)))
+
+
+def _from_t(y):  # torch (B, C, T) -> numpy (B, T, C)
+    return np.moveaxis(y.detach().numpy(), 1, -1)
+
+
+@pytest.mark.parametrize("stride,pad,dil,groups", [
+    (1, 1, 1, 1),
+    (1, 3, 3, 1),
+    (1, 27, 27, 1),
+    (4, 20, 1, 4),
+    (2, 7, 1, 1),
+])
+def test_conv1d_matches_torch(stride, pad, dil, groups):
+    B, T, Cin, Cout, K = 2, 64, 8, 12, 3 if dil > 1 else 5
+    x = RNG.standard_normal((B, T, Cin)).astype(np.float32)
+    w = RNG.standard_normal((Cout, Cin // groups, K)).astype(np.float32)
+    b = RNG.standard_normal((Cout,)).astype(np.float32)
+
+    ref = F.conv1d(_t(x), torch.from_numpy(w), torch.from_numpy(b),
+                   stride=stride, padding=pad, dilation=dil, groups=groups)
+    got = conv1d(jnp.asarray(x), jnp.asarray(w.transpose(2, 1, 0)),
+                 jnp.asarray(b), stride=stride, padding=pad, dilation=dil,
+                 groups=groups)
+    np.testing.assert_allclose(np.asarray(got), _from_t(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("in_size,factor", [(10, 2), (10, 4), (10, 5), (7, 3)])
+def test_nearest_upsample_matches_torch(in_size, factor):
+    x = RNG.standard_normal((2, in_size, 3)).astype(np.float32)
+    ref = F.interpolate(_t(x), scale_factor=factor, mode="nearest")
+    got = nearest_upsample(jnp.asarray(x), factor)
+    np.testing.assert_array_equal(np.asarray(got), _from_t(ref))
+
+
+@pytest.mark.parametrize("in_size,scale", [(16000, 1), (16000, 5), (3200, 4), (800, 4), (123, 7), (100, 3)])
+def test_nearest_downsample_matches_torch_squeeze2d(in_size, scale):
+    # Squeeze2d semantics: F.interpolate(x, size=int(T / scale), mode="nearest")
+    x = RNG.standard_normal((1, in_size, 2)).astype(np.float32)
+    size = int(in_size / scale)
+    ref = F.interpolate(_t(x), size=size, mode="nearest")
+    got = nearest_downsample(jnp.asarray(x), scale)
+    np.testing.assert_array_equal(np.asarray(got), _from_t(ref))
+
+
+@pytest.mark.parametrize("out_size", [150, 99, 37, 200])
+def test_nearest_resize_arbitrary(out_size):
+    x = RNG.standard_normal((1, 100, 2)).astype(np.float32)
+    ref = F.interpolate(_t(x), size=out_size, mode="nearest")
+    got = nearest_resize(jnp.asarray(x), out_size)
+    np.testing.assert_array_equal(np.asarray(got), _from_t(ref))
+
+
+@pytest.mark.parametrize("count_include_pad", [True, False])
+def test_avg_pool1d_matches_torch(count_include_pad):
+    for (k, s, p, T) in [(4, 2, 1, 64), (4, 2, 2, 100), (3, 1, 1, 50)]:
+        x = RNG.standard_normal((2, T, 3)).astype(np.float32)
+        ref = torch.nn.AvgPool1d(k, s, p, count_include_pad=count_include_pad)(_t(x))
+        got = avg_pool1d(jnp.asarray(x), k, s, p, count_include_pad=count_include_pad)
+        np.testing.assert_allclose(np.asarray(got), _from_t(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_instance_norm_matches_torch():
+    x = RNG.standard_normal((2, 40, 6)).astype(np.float32)
+    # torch InstanceNorm2d on (B, C, 1, T)
+    xt = _t(x).unsqueeze(2)
+    ref = torch.nn.InstanceNorm2d(6)(xt).squeeze(2)
+    got = instance_norm(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), _from_t(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_leaky_relu_matches_torch():
+    x = RNG.standard_normal((100,)).astype(np.float32)
+    ref = F.leaky_relu(torch.from_numpy(x), 0.2).numpy()
+    got = leaky_relu(jnp.asarray(x), 0.2)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_reflect_pad_matches_torch():
+    x = RNG.standard_normal((2, 20, 3)).astype(np.float32)
+    ref = torch.nn.ReflectionPad1d(7)(_t(x))
+    got = reflect_pad1d(jnp.asarray(x), 7)
+    np.testing.assert_array_equal(np.asarray(got), _from_t(ref))
+
+
+def test_hann_window_matches_torch():
+    for n in (64, 600, 1024):
+        ref = torch.hann_window(n).numpy()
+        got = np.asarray(hann_window(n))
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("fft,hop,win", [
+    (1024, 120, 600), (2048, 512, 2048), (64, 16, 64), (512, 128, 240),
+])
+def test_stft_magnitude_matches_torch(fft, hop, win):
+    x = RNG.standard_normal((2, 4000)).astype(np.float32)
+    ref = torch.stft(
+        torch.from_numpy(x), fft, hop, win, torch.hann_window(win),
+        center=True, onesided=True, return_complex=True,
+    ).abs().numpy()  # (B, freq, frames)
+    got = np.asarray(stft_magnitude(jnp.asarray(x), fft, hop, win))
+    # ours: (B, frames, freq) — compare against torch transposed
+    np.testing.assert_allclose(
+        got, ref.transpose(0, 2, 1), rtol=2e-3, atol=5e-4
+    )
+
+
+def test_signal_generator_sine_matches_reference_math():
+    """Deterministic part (noise_amp=0) must match the reference formula
+    (features.py:177-197): vuv * sin(2π cumsum((f0_up/fs) % 1)) * amp."""
+    hop, fs = 160, 16000
+    f0 = np.zeros((1, 20, 1), np.float32)
+    f0[0, 5:15, 0] = np.linspace(100, 220, 10)
+    gen = SignalGenerator(sample_rate=fs, hop_size=hop, sine_amp=0.1, noise_amp=0.0)
+    got = np.asarray(gen.sinusoid(jnp.asarray(f0), jax.random.PRNGKey(0)))
+
+    f0_t = torch.from_numpy(np.moveaxis(f0, -1, 1))
+    T = f0.shape[1]
+    vuv = F.interpolate((f0_t > 0).float(), T * hop)
+    rad = (F.interpolate(f0_t, T * hop) / fs) % 1
+    ref = (vuv * torch.sin(torch.cumsum(rad, dim=2) * 2 * np.pi) * 0.1).numpy()
+    np.testing.assert_allclose(got[:, :, 0], ref[:, 0, :], rtol=1e-4, atol=1e-5)
+
+
+def test_signal_generator_types_and_shapes():
+    gen = SignalGenerator(hop_size=160, signal_types=("sine", "noise", "uv"))
+    f0 = jnp.ones((2, 10, 1)) * 120.0
+    out = gen(f0, jax.random.PRNGKey(1))
+    assert out.shape == (2, 1600, 3)
+    # uv channel is exactly 1 where voiced
+    np.testing.assert_array_equal(np.asarray(out[..., 2]), np.ones((2, 1600)))
