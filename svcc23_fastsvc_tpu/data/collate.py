@@ -1,0 +1,101 @@
+"""Fixed-shape random-crop batching for GAN training.
+
+Replaces the reference's torch DataLoader + Collater
+(/root/reference/harana/bin/train_fastsvc.py:438-557): per step, sample
+`batch_size` utterances, take a frame-aligned random window of
+`batch_length` samples from each, and emit one numpy batch dict with static
+shapes. Unlike the reference, the sine excitation is NOT built here — the
+jitted train step generates it on-device from the f0 window (train/gan.py).
+
+Crops are driven by a seeded numpy Generator, so a run is reproducible and
+(combined with per-host seeds) multi-host feeding stays deterministic.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+class FastSVCBatcher:
+    """Infinite iterator of fixed-shape training batches."""
+
+    def __init__(
+        self,
+        dataset,
+        *,
+        batch_size: int = 32,
+        batch_length: int = 16000,
+        hop_size: int = 160,
+        aux_context_window: int = 0,
+        use_spk_emb: bool = True,
+        seed: int = 0,
+        drop_short: bool = True,
+    ):
+        if batch_length % hop_size != 0:
+            batch_length -= batch_length % hop_size
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.batch_length = batch_length
+        self.batch_frames = batch_length // hop_size
+        self.hop_size = hop_size
+        self.acw = aux_context_window
+        self.use_spk_emb = use_spk_emb
+        self.rng = np.random.default_rng(seed)
+
+        # Pre-filter utterances long enough for one window (the reference
+        # warns and skips inside the collater, train_fastsvc.py:522-527).
+        self.valid_idx = []
+        for i in range(len(dataset)):
+            n_frames = self._ppg_len(i)
+            if n_frames - 2 * self.acw > self.batch_frames:
+                self.valid_idx.append(i)
+            elif drop_short:
+                logging.warning("utterance %d shorter than batch window; dropped", i)
+        if not self.valid_idx:
+            raise ValueError("no utterance long enough for the batch window")
+
+    def _ppg_len(self, idx: int) -> int:
+        item = self.dataset[idx]
+        ppg = item[3] if getattr(self.dataset, "return_utt_id", False) else item[2]
+        return len(ppg)
+
+    def sample_batch(self) -> Dict[str, np.ndarray]:
+        B, F, L = self.batch_size, self.batch_frames, self.batch_length
+        picks = self.rng.choice(self.valid_idx, size=B, replace=True)
+        out = {
+            "audio": np.empty((B, L, 1), np.float32),
+            "f0": np.empty((B, F, 1), np.float32),
+            "ppg": None,
+            "lft": np.empty((B, L, 1), np.float32),
+        }
+        if self.use_spk_emb:
+            out["spk_emb"] = None
+        for bi, idx in enumerate(picks):
+            item = self.dataset[idx]
+            if getattr(self.dataset, "return_utt_id", False):
+                item = item[1:]
+            audio, f0, ppg, lft, emb = item
+            n_frames = len(ppg)
+            start = int(
+                self.rng.integers(self.acw, n_frames - F - self.acw)
+            )
+            s0 = start * self.hop_size
+            if out["ppg"] is None:
+                out["ppg"] = np.empty((B, F + 2 * self.acw, ppg.shape[-1]), np.float32)
+            out["audio"][bi, :, 0] = audio[s0 : s0 + L]
+            out["f0"][bi, :, 0] = f0[start : start + F]
+            out["ppg"][bi] = ppg[start - self.acw : start + self.acw + F]
+            out["lft"][bi, :, 0] = lft[s0 : s0 + L]
+            if self.use_spk_emb:
+                e = np.asarray(emb, np.float32).reshape(-1)
+                if out["spk_emb"] is None:
+                    out["spk_emb"] = np.empty((B, e.shape[0]), np.float32)
+                out["spk_emb"][bi] = e
+        return out
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        while True:
+            yield self.sample_batch()

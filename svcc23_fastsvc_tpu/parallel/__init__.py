@@ -1,0 +1,8 @@
+"""Device-mesh parallelism."""
+
+from .mesh import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    replicate,
+    jit_train_step_dp,
+)

@@ -1,0 +1,64 @@
+"""Data-parallel training over a jax.sharding.Mesh.
+
+The reference has no distributed layer at all (SURVEY.md §2g: single-process,
+single-GPU; its only parallelism is shell-level scp-shard job arrays). The
+TPU-native replacement: utterance-batch data parallelism via jit over a 1-D
+("data",) mesh — batch sharded on the data axis, train state replicated, and
+XLA's SPMD partitioner inserts the gradient all-reduce over ICI.
+
+The models are <10 M params (FastSVC generator ~5 M), so DP is the entire
+scaling story; there is nothing to tensor/pipeline-parallelize. For
+multi-host slices the same code runs under jax.distributed.initialize with
+per-host data feeding (jax.make_array_from_process_local_data).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, *, axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first n_devices devices."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise ValueError(
+            f"requested {n_devices} devices but only {len(devices)} present"
+        )
+    return Mesh(np.array(devices[:n_devices]), (axis_name,))
+
+
+def shard_batch(batch, mesh: Mesh, *, axis_name: str = "data"):
+    """Place a host-local batch dict sharded along the leading batch axis."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (train state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def jit_train_step_dp(step_fn, mesh: Mesh, *, axis_name: str = "data",
+                      donate: bool = True):
+    """jit a (state, batch) -> (state, metrics) step for DP over `mesh`.
+
+    State replicated, batch sharded on the leading axis; outputs replicated.
+    XLA SPMD derives the gradient all-reduce from these shardings.
+    """
+    state_sh = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(axis_name))
+    kw = dict(donate_argnums=(0,)) if donate else {}
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, state_sh),
+        **kw,
+    )

@@ -1,0 +1,165 @@
+"""Host-side training loop driving the jitted GAN steps.
+
+Reference counterpart: the Trainer class in
+/root/reference/harana/bin/train_fastsvc.py:45-435 (step-based loop with
+log/eval/save intervals, tensorboard scalars, crash-safe final checkpoint).
+
+TPU-native differences: the phase switch (generator-only vs full GAN) picks
+between two pre-compiled step functions instead of branching per step; the
+batcher is an infinite host iterator feeding fixed-shape arrays, so there is
+no epoch boundary — intervals are purely step-indexed (epochs in the
+reference only mattered for the DataLoader).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections import defaultdict
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .checkpoint import latest_step, load_checkpoint, load_params_only, save_checkpoint
+
+
+class Trainer:
+    def __init__(
+        self,
+        task,
+        state,
+        train_batcher,
+        *,
+        config: dict,
+        outdir: str,
+        dev_batcher=None,
+        writer=None,
+        mesh=None,
+    ):
+        self.task = task
+        self.state = state
+        self.train_iter = iter(train_batcher)
+        self.dev_batcher = dev_batcher
+        self.config = config
+        self.outdir = outdir
+        self.writer = writer
+        if mesh is not None:
+            from ..parallel import jit_train_step_dp, replicate, shard_batch
+
+            self.state = replicate(self.state, mesh)
+            self._gen_step = jit_train_step_dp(task.gen_step, mesh, donate=True)
+            self._gan_step = jit_train_step_dp(task.gan_step, mesh, donate=True)
+            self._shard = lambda b: shard_batch(b, mesh)
+        else:
+            self._gen_step, self._gan_step = task.jit_steps(donate=True)
+            self._shard = lambda b: b
+        self._eval_step = jax.jit(
+            lambda s, b: task.eval_step(s, b, with_adv=True)
+        )
+        self.total = defaultdict(float)
+        self.n_since_log = 0
+
+    # -- checkpoint management -------------------------------------------
+
+    def resume(self, ckpt_dir: Optional[str] = None, *, params_only=False):
+        ckpt_dir = ckpt_dir or self.outdir
+        if latest_step(ckpt_dir) is None:
+            logging.info("no checkpoint found in %s; starting fresh", ckpt_dir)
+            return
+        if params_only:
+            self.state, step = load_params_only(ckpt_dir, self.state)
+            logging.info("loaded pretrained params from step %d", step)
+        else:
+            self.state, step = load_checkpoint(ckpt_dir, self.state)
+            logging.info("resumed from step %d", step)
+
+    def save(self, step: int):
+        save_checkpoint(self.outdir, self.state, step, config=self.config)
+        logging.info("saved checkpoint at step %d", step)
+
+    # -- loop ------------------------------------------------------------
+
+    def run(self):
+        cfg = self.config
+        max_steps = cfg["train_max_steps"]
+        d_start = cfg["discriminator_train_start_steps"]
+        g_start = cfg.get("generator_train_start_steps", 0)
+        log_iv = cfg["log_interval_steps"]
+        eval_iv = cfg["eval_interval_steps"]
+        save_iv = cfg["save_interval_steps"]
+
+        step = int(jax.device_get(self.state.step))
+        t_last, steps_last = time.time(), step
+        try:
+            while step < max_steps:
+                batch = self._shard(next(self.train_iter))
+                # reference gates G on generator_train_start_steps and D on
+                # discriminator_train_start_steps (train_fastsvc.py:166,210)
+                if step > d_start:
+                    self.state, metrics = self._gan_step(self.state, batch)
+                elif step > g_start or g_start == 0:
+                    self.state, metrics = self._gen_step(self.state, batch)
+                else:  # warm-up region with neither side training
+                    step += 1
+                    continue
+                step += 1
+                self._accumulate(metrics)
+
+                if step % log_iv == 0:
+                    dt = time.time() - t_last
+                    sps = (step - steps_last) / dt if dt > 0 else 0.0
+                    audio_s = (
+                        cfg["batch_size"] * cfg["batch_length"] / cfg["sampling_rate"]
+                    )
+                    self._flush_logs(step, extra={
+                        "steps_per_s": sps,
+                        "audio_s_per_s": sps * audio_s,
+                    })
+                    t_last, steps_last = time.time(), step
+                if self.dev_batcher is not None and step % eval_iv == 0:
+                    self._evaluate(step)
+                if step % save_iv == 0:
+                    self.save(step)
+        finally:
+            # crash-safe save (reference train_fastsvc.py:812-819)
+            self.save(step)
+        return self.state
+
+    # -- logging ---------------------------------------------------------
+
+    def _accumulate(self, metrics):
+        for k, v in metrics.items():
+            self.total[k] += float(jax.device_get(v))
+        self.n_since_log += 1
+
+    def _flush_logs(self, step, extra=None):
+        items = {k: v / max(self.n_since_log, 1) for k, v in self.total.items()}
+        if extra:
+            items.update(extra)
+        msg = ", ".join(f"{k}={v:.4f}" for k, v in sorted(items.items()))
+        logging.info("step %d: %s", step, msg)
+        if self.writer is not None:
+            for k, v in items.items():
+                self.writer.add_scalar(f"train/{k}", v, step)
+        self.total.clear()
+        self.n_since_log = 0
+
+    def _evaluate(self, step):
+        totals = defaultdict(float)
+        n = 0
+        for batch in self.dev_batcher:
+            metrics = self._eval_step(self.state, self._shard(batch))
+            for k, v in metrics.items():
+                totals[k] += float(jax.device_get(v))
+            n += 1
+            if n >= self.config.get("eval_batches", 4):
+                break
+        items = {k: v / max(n, 1) for k, v in totals.items()}
+        logging.info(
+            "eval @ %d: %s", step,
+            ", ".join(f"{k}={v:.4f}" for k, v in sorted(items.items())),
+        )
+        if self.writer is not None:
+            for k, v in items.items():
+                self.writer.add_scalar(f"eval/{k}", v, step)
