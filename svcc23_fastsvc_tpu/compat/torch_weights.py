@@ -198,3 +198,119 @@ def convert_hifigan_msd_mpd(
             }
         )
     return {"msd": msd, "mpd": mpd}
+
+
+# ---------------------------------------------------------------------------
+# B02 Tacotron2 (+ sub-freq discriminators)
+# ---------------------------------------------------------------------------
+
+
+def _lstm_cell_entry(sd, prefix):
+    """torch LSTMCell / LSTM-direction weights -> transposed cell params."""
+    def g(name):
+        return jnp.asarray(_np(sd[f"{prefix}.{name}"]))
+
+    return {
+        "w_ih": g("weight_ih").T,
+        "w_hh": g("weight_hh").T,
+        "b_ih": g("bias_ih"),
+        "b_hh": g("bias_hh"),
+    }
+
+
+def _bn_entry(sd, prefix):
+    return {
+        "w": jnp.asarray(_np(sd[f"{prefix}.weight"])),
+        "b": jnp.asarray(_np(sd[f"{prefix}.bias"])),
+        "mean": jnp.asarray(_np(sd[f"{prefix}.running_mean"])),
+        "var": jnp.asarray(_np(sd[f"{prefix}.running_var"])),
+    }
+
+
+def convert_tacotron2(sd, *, econv_layers: int = 3, dec_layers: int = 2,
+                      prenet_layers: int = 2) -> dict:
+    """Reference Tacotron2Wrapper state dict -> framework params
+    (torch tree: acoustic_network.{encoder,prenet,decs,proj,...},
+    reference tacotron2.py:381-483)."""
+    if any(k.startswith("acoustic_network.") for k in sd):
+        sd = {k[len("acoustic_network."):]: v for k, v in sd.items()}
+
+    enc = {
+        "input_layer": _linear_entry(sd, "encoder.input_layer"),
+        "convs": [
+            {
+                "conv": _conv1d_entry(sd, f"encoder.convs.{i}.0"),
+                "bn": _bn_entry(sd, f"encoder.convs.{i}.1"),
+            }
+            for i in range(econv_layers)
+        ],
+        "blstm": {
+            "fwd": {
+                "w_ih": jnp.asarray(_np(sd["encoder.blstm.weight_ih_l0"]).T),
+                "w_hh": jnp.asarray(_np(sd["encoder.blstm.weight_hh_l0"]).T),
+                "b_ih": jnp.asarray(_np(sd["encoder.blstm.bias_ih_l0"])),
+                "b_hh": jnp.asarray(_np(sd["encoder.blstm.bias_hh_l0"])),
+            },
+            "bwd": {
+                "w_ih": jnp.asarray(_np(sd["encoder.blstm.weight_ih_l0_reverse"]).T),
+                "w_hh": jnp.asarray(_np(sd["encoder.blstm.weight_hh_l0_reverse"]).T),
+                "b_ih": jnp.asarray(_np(sd["encoder.blstm.bias_ih_l0_reverse"])),
+                "b_hh": jnp.asarray(_np(sd["encoder.blstm.bias_hh_l0_reverse"])),
+            },
+        },
+    }
+    p = {
+        "encoder": enc,
+        "prenet": [
+            _linear_entry(sd, f"prenet.prenet.{i}.0") for i in range(prenet_layers)
+        ],
+        "decs": [
+            {
+                "cell": _lstm_cell_entry(sd, f"decs.{i}.cell"),
+                "pj": _linear_entry(sd, f"decs.{i}.pj"),
+            }
+            for i in range(dec_layers)
+        ],
+        "proj": _linear_entry(sd, "proj"),
+        "bap_decoder": {
+            "conv0": _conv1d_entry(sd, "bap_decoder.0"),
+            "conv1": _conv1d_entry(sd, "bap_decoder.3"),
+            "conv2": _conv1d_entry(sd, "bap_decoder.6"),
+            "conv3": _conv1d_entry(sd, "bap_decoder.9"),
+            "bn": _bn_entry(sd, "bap_decoder.10"),
+        },
+    }
+    if "logf0_film_net.conv.weight" in sd:
+        p["logf0_film"] = {
+            "conv": _conv1d_entry(sd, "logf0_film_net.conv"),
+            "conv_scale": _conv1d_entry(sd, "logf0_film_net.conv_scale"),
+            "conv_shift": _conv1d_entry(sd, "logf0_film_net.conv_shift"),
+        }
+        p["lft_film"] = {
+            "conv": _conv1d_entry(sd, "lft_film_net.conv"),
+            "conv_scale": _conv1d_entry(sd, "lft_film_net.conv_scale"),
+            "conv_shift": _conv1d_entry(sd, "lft_film_net.conv_shift"),
+        }
+    if "spk_emb_projection.weight" in sd:
+        p["spk_emb_projection"] = _linear_entry(sd, "spk_emb_projection")
+    return p
+
+
+def convert_subfreq_discriminator(sd) -> dict:
+    """Reference MultiSubFreqDiscriminator state dict -> params."""
+    out = {}
+    for band in ("low", "mid", "high"):
+        pre = f"{band}_discriminator.layers"
+        idxs = [int(k.split(".")[2]) for k in sd if k.startswith(pre)]
+        if not idxs:
+            continue
+        n = 1 + max(idxs)
+        layers = []
+        for j in range(n):
+            if f"{pre}.{j}.0.weight" in sd:
+                key = f"{pre}.{j}.0"
+            else:
+                key = f"{pre}.{j}"
+            layers.append(_conv2d_entry(sd, key))
+        out[band] = {"layers": layers}
+    return out
