@@ -6,4 +6,5 @@ from .torch_weights import (  # noqa: F401
     convert_hifigan_msd_mpd,
     convert_tacotron2,
     convert_subfreq_discriminator,
+    convert_hnusfgan,
 )

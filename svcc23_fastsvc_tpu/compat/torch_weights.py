@@ -314,3 +314,68 @@ def convert_subfreq_discriminator(sd) -> dict:
             layers.append(_conv2d_entry(sd, key))
         out[band] = {"layers": layers}
     return out
+
+
+# ---------------------------------------------------------------------------
+# HN-uSFGAN vocoder
+# ---------------------------------------------------------------------------
+
+
+def convert_hnusfgan(sd, *, n_up_scales: int = 4) -> dict:
+    """Reference HNUSFGANGenerator state dict -> framework params.
+
+    Torch tree (hnusfgan.py:95-145): conv_first_{sine,noise}, upsample_net
+    (conv_in + upsample.up_layers.{2k+1}), {harmonic,noise,filter}_network
+    .conv_dilated.{i}, periodicity_estimator.layers.{2k}, conv_last.{1,3}.
+    """
+
+    def blocks(net):
+        pre = f"{net}.conv_dilated"
+        idxs = sorted({int(k.split(".")[2]) for k in sd if k.startswith(pre)})
+        out = []
+        for i in idxs:
+            b = f"{pre}.{i}"
+            if any(k.startswith(f"{b}.convC") for k in sd):  # adaptive
+                out.append({
+                    "convP": _conv1d_entry(sd, f"{b}.convP"),
+                    "convC": _conv1d_entry(sd, f"{b}.convC"),
+                    "convF": _conv1d_entry(sd, f"{b}.convF"),
+                    "aux": _conv1d_entry(sd, f"{b}.conv1x1_aux"),
+                    "out": _conv1d_entry(sd, f"{b}.conv1x1_out"),
+                    "skip": _conv1d_entry(sd, f"{b}.conv1x1_skip"),
+                })
+            else:  # fixed
+                out.append({
+                    "conv": _conv1d_entry(sd, f"{b}.conv"),
+                    "aux": _conv1d_entry(sd, f"{b}.conv1x1_aux"),
+                    "out": _conv1d_entry(sd, f"{b}.conv1x1_out"),
+                    "skip": _conv1d_entry(sd, f"{b}.conv1x1_skip"),
+                })
+        return {"blocks": out}
+
+    per_idxs = sorted({
+        int(k.split(".")[2]) for k in sd
+        if k.startswith("periodicity_estimator.layers.")
+    })
+    return {
+        "conv_first_sine": _conv1d_entry(sd, "conv_first_sine"),
+        "conv_first_noise": _conv1d_entry(sd, "conv_first_noise"),
+        "upsample": {
+            "conv_in": _conv1d_entry(sd, "upsample_net.conv_in"),
+            "up_convs": [
+                _conv1d_entry(sd, f"upsample_net.upsample.up_layers.{2 * i + 1}")
+                for i in range(n_up_scales)
+            ],
+        },
+        "harmonic": blocks("harmonic_network"),
+        "noise": blocks("noise_network"),
+        "filter": blocks("filter_network"),
+        "periodicity": {
+            "layers": [
+                _conv1d_entry(sd, f"periodicity_estimator.layers.{i}")
+                for i in per_idxs
+            ]
+        },
+        "last1": _conv1d_entry(sd, "conv_last.1"),
+        "last2": _conv1d_entry(sd, "conv_last.3"),
+    }

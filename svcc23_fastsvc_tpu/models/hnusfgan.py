@@ -1,0 +1,391 @@
+"""HN-uSFGAN vocoder (B02 synthesis stage), TPU-native.
+
+JAX re-design of /root/reference/harana/models/hnusfgan.py and
+/root/reference/harana/layers/residual_block.py: harmonic-plus-noise unified
+source-filter GAN — sine+noise excitation → harmonic (pitch-adaptive QPPWG)
+and noise (fixed-dilation) source networks mixed by a periodicity estimator,
+then a filter network, conditioned on upsampled WORLD features.
+
+TPU-first mechanics:
+  * pitch-dependent indexing (pd_indexing, reference index.py:12-54) becomes
+    a jnp.take_along_axis gather with clip+mask — data-dependent gather is
+    native on XLA, no per-batch Python index building;
+  * each gated block is channels-last so the 1x1 convs are MXU matmuls.
+
+Faithfully kept reference quirks:
+  * ResidualBlocks.forward accumulates skip connections but returns only the
+    residual stream — the skips are dead computation (residual_block.py:
+    358-371); we simply don't compute them;
+  * conv_last is applied separately to the filter output and the pre-filter
+    source for the regularization loss (hnusfgan.py:184-194).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.conv import conv1d, conv2d, conv_weight, conv1d_init, wn_init
+from ..ops.resample import nearest_upsample
+
+
+def _maybe_wn(p, use_wn):
+    return wn_init(p) if use_wn else p
+
+
+def _conv(x, p, **kw):
+    return conv1d(x, conv_weight(p), p.get("b"), **kw)
+
+
+def pd_indexing(x, d, dilation: int):
+    """Pitch-dependent past/future sample gather.
+
+    Args:
+        x: (B, T, C) feature map.
+        d: (B, T) pitch-dependent dilation factors.
+        dilation: static dilation size.
+    Returns:
+        (xP, xF): values at t -/+ round(d*dilation), zero outside bounds.
+    """
+    B, T, C = x.shape
+    t = jnp.arange(T)[None, :]
+    # round(t ± d·dil) — matches the reference's round-after-add ordering
+    # (index.py:31-47; round(a+k)=round(a)+k holds for integer k, so the
+    # half-to-even edge cases agree)
+    idxP = jnp.round(t - d * dilation).astype(jnp.int32)
+    idxF = jnp.round(t + d * dilation).astype(jnp.int32)
+    validP = idxP >= 0
+    validF = idxF <= T - 1
+    xP = jnp.take_along_axis(x, jnp.clip(idxP, 0, T - 1)[:, :, None], axis=1)
+    xF = jnp.take_along_axis(x, jnp.clip(idxF, 0, T - 1)[:, :, None], axis=1)
+    return (
+        jnp.where(validP[:, :, None], xP, 0.0),
+        jnp.where(validF[:, :, None], xF, 0.0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocks
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FixedBlock:
+    """Gated WaveNet-style block w/ fixed dilation (residual_block.py:75-173)."""
+
+    residual_channels: int = 64
+    gate_channels: int = 128
+    skip_channels: int = 64
+    aux_channels: int = 80
+    kernel_size: int = 3
+    dilation: int = 1
+    use_weight_norm: bool = True
+
+    def init(self, key):
+        ks = jax.random.split(key, 4)
+        wn = self.use_weight_norm
+        return {
+            "conv": _maybe_wn(conv1d_init(ks[0], self.kernel_size,
+                                          self.residual_channels,
+                                          self.gate_channels), wn),
+            "aux": _maybe_wn(conv1d_init(ks[1], 1, self.aux_channels,
+                                         self.gate_channels, bias=False), wn),
+            "out": _maybe_wn(conv1d_init(ks[2], 1, self.gate_channels // 2,
+                                         self.residual_channels), wn),
+            "skip": _maybe_wn(conv1d_init(ks[3], 1, self.gate_channels // 2,
+                                          self.skip_channels), wn),
+        }
+
+    def apply(self, p, x, c):
+        residual = x
+        pad = (self.kernel_size - 1) // 2 * self.dilation
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+        h = _conv(xp, p["conv"], dilation=self.dilation)
+        xa, xb = jnp.split(h, 2, axis=-1)
+        ca, cb = jnp.split(_conv(c, p["aux"]), 2, axis=-1)
+        xa, xb = xa + ca, xb + cb
+        h = jnp.tanh(xa) * jax.nn.sigmoid(xb)
+        out = (_conv(h, p["out"]) + residual) * math.sqrt(0.5)
+        return out
+
+
+@dataclass(frozen=True)
+class AdaptiveBlock:
+    """Pitch-adaptive gated block (residual_block.py:176-266)."""
+
+    residual_channels: int = 64
+    gate_channels: int = 128
+    skip_channels: int = 64
+    aux_channels: int = 80
+    use_weight_norm: bool = True
+
+    def init(self, key):
+        ks = jax.random.split(key, 6)
+        wn = self.use_weight_norm
+        R, G = self.residual_channels, self.gate_channels
+        return {
+            "convP": _maybe_wn(conv1d_init(ks[0], 1, R, G), wn),
+            "convC": _maybe_wn(conv1d_init(ks[1], 1, R, G), wn),
+            "convF": _maybe_wn(conv1d_init(ks[2], 1, R, G), wn),
+            "aux": _maybe_wn(conv1d_init(ks[3], 1, self.aux_channels, G,
+                                         bias=False), wn),
+            "out": _maybe_wn(conv1d_init(ks[4], 1, G // 2, R), wn),
+            "skip": _maybe_wn(conv1d_init(ks[5], 1, G // 2,
+                                          self.skip_channels), wn),
+        }
+
+    def apply(self, p, xC, xP, xF, c):
+        residual = xC
+        h = _conv(xC, p["convC"]) + _conv(xP, p["convP"]) + _conv(xF, p["convF"])
+        xa, xb = jnp.split(h, 2, axis=-1)
+        ca, cb = jnp.split(_conv(c, p["aux"]), 2, axis=-1)
+        xa, xb = xa + ca, xb + cb
+        h = jnp.tanh(xa) * jax.nn.sigmoid(xb)
+        return (_conv(h, p["out"]) + residual) * math.sqrt(0.5)
+
+
+@dataclass(frozen=True)
+class ResidualBlocks:
+    """Cascaded adaptive + fixed block stack (residual_block.py:269-371)."""
+
+    blockA: int
+    cycleA: int
+    blockF: int
+    cycleF: int
+    cascade_mode: int = 0
+    residual_channels: int = 64
+    gate_channels: int = 128
+    skip_channels: int = 64
+    aux_channels: int = 80
+    use_weight_norm: bool = True
+
+    def _blocks(self):
+        cycleA = max(self.cycleA, 1)
+        cycleF = max(self.cycleF, 1)
+        assert self.blockA % cycleA == 0 and self.blockF % cycleF == 0
+        blockA_per_cycle = self.blockA // cycleA if cycleA else 1
+        blockF_per_cycle = self.blockF // cycleF if cycleF else 1
+        adaptive = []
+        for i in range(self.blockA):
+            dil = 2 ** (i % max(blockA_per_cycle, 1))
+            adaptive.append(("A", dil, AdaptiveBlock(
+                self.residual_channels, self.gate_channels,
+                self.skip_channels, self.aux_channels, self.use_weight_norm)))
+        fixed = []
+        for i in range(self.blockF):
+            dil = 2 ** (i % max(blockF_per_cycle, 1))
+            fixed.append(("F", dil, FixedBlock(
+                self.residual_channels, self.gate_channels,
+                self.skip_channels, self.aux_channels,
+                dilation=dil, use_weight_norm=self.use_weight_norm)))
+        return adaptive + fixed if self.cascade_mode == 0 else fixed + adaptive
+
+    def init(self, key):
+        blocks = self._blocks()
+        ks = jax.random.split(key, max(len(blocks), 1))
+        return {"blocks": [b.init(k) for (_, _, b), k in zip(blocks, ks)]}
+
+    def apply(self, p, x, c, d):
+        """x: (B, T, R); c: (B, T, aux); d: (B, T) dilation factors."""
+        for (kind, dil, blk), bp in zip(self._blocks(), p["blocks"]):
+            if kind == "A":
+                xP, xF = pd_indexing(x, d, dil)
+                x = blk.apply(bp, x, xP, xF, c)
+            else:
+                x = blk.apply(bp, x, c)
+        return x
+
+
+@dataclass(frozen=True)
+class PeriodicityEstimator:
+    """Conv stack w/ sigmoid output (residual_block.py:374-434)."""
+
+    in_channels: int = 62
+    residual_channels: int = 64
+    conv_layers: int = 3
+    kernel_size: int = 5
+    dilation: int = 1
+    use_weight_norm: bool = True
+
+    def init(self, key):
+        ks = jax.random.split(key, self.conv_layers)
+        layers = []
+        cin = self.in_channels
+        for i, k in enumerate(ks):
+            p = conv1d_init(k, self.kernel_size, cin, self.residual_channels)
+            if i == self.conv_layers - 1:
+                # reference init: std 1e-4 so sigmoid starts near 0.5
+                p["w"] = jax.random.normal(k, p["w"].shape) * 1e-4
+            layers.append(_maybe_wn(p, self.use_weight_norm))
+            cin = self.residual_channels
+        return {"layers": layers}
+
+    def apply(self, p, x):
+        pad = self.kernel_size // 2 * self.dilation
+        for i, lp in enumerate(p["layers"]):
+            xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+            x = _conv(xp, lp, dilation=self.dilation)
+            x = jax.nn.relu(x) if i < len(p["layers"]) - 1 else jax.nn.sigmoid(x)
+        return x
+
+
+@dataclass(frozen=True)
+class ConvInUpsampleNetwork:
+    """Aux-feature upsampler (reference layers/upsample.py:109-242):
+    context conv (VALID) then per-scale nearest-stretch + (1, 2s+1) conv."""
+
+    upsample_scales: Sequence[int] = (5, 4, 3, 2)
+    aux_channels: int = 62
+    aux_context_window: int = 2
+    use_weight_norm: bool = True
+
+    def init(self, key):
+        ks = jax.random.split(key, 1 + len(self.upsample_scales))
+        kernel = 2 * self.aux_context_window + 1
+        p = {
+            "conv_in": _maybe_wn(
+                conv1d_init(ks[0], kernel, self.aux_channels,
+                            self.aux_channels, bias=False),
+                self.use_weight_norm,
+            ),
+            "up_convs": [],
+        }
+        for s, k in zip(self.upsample_scales, ks[1:]):
+            # torch Conv2d(1, 1, (1, 2s+1), padding=(0, s), bias=False):
+            # along time only; stored as WIO (2s+1, 1, 1)
+            w = jnp.full((2 * s + 1, 1, 1), 1.0 / (2 * s + 1))
+            p["up_convs"].append(
+                _maybe_wn({"w": w}, self.use_weight_norm)
+            )
+        return p
+
+    def apply(self, p, c):
+        """(B, T', aux) padded by aux_context_window → (B, T'*prod, aux)."""
+        c = _conv(c, p["conv_in"], padding="VALID")
+        for s, up in zip(self.upsample_scales, p["up_convs"]):
+            c = nearest_upsample(c, s)
+            B, T, C = c.shape
+            # depthwise-in-freq conv: same (2s+1) time kernel for every
+            # channel (torch runs one (1,2s+1) conv on the (B,1,C,T) view)
+            h = c.transpose(0, 2, 1).reshape(B * C, T, 1)
+            h = conv1d(h, conv_weight(up), padding=s)
+            c = h.reshape(B, C, T).transpose(0, 2, 1)
+        return c
+
+
+# ---------------------------------------------------------------------------
+# generator
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class HNUSFGANGenerator:
+    """Harmonic-plus-noise uSFGAN generator (hnusfgan.py:36-216)."""
+
+    harmonic_params: dict = field(default_factory=lambda: dict(
+        blockA=20, cycleA=4, blockF=0, cycleF=0, cascade_mode=0))
+    noise_params: dict = field(default_factory=lambda: dict(
+        blockA=0, cycleA=0, blockF=5, cycleF=5, cascade_mode=0))
+    filter_params: dict = field(default_factory=lambda: dict(
+        blockA=0, cycleA=0, blockF=30, cycleF=3, cascade_mode=0))
+    in_channels: int = 1
+    out_channels: int = 1
+    residual_channels: int = 64
+    gate_channels: int = 128
+    skip_channels: int = 64
+    aux_channels: int = 62
+    aux_context_window: int = 2
+    upsample_scales: Sequence[int] = (5, 4, 3, 2)
+    periodicity_layers: int = 3
+    periodicity_kernel: int = 5
+    use_weight_norm: bool = True
+
+    def _nets(self):
+        common = dict(
+            residual_channels=self.residual_channels,
+            gate_channels=self.gate_channels,
+            skip_channels=self.skip_channels,
+            aux_channels=self.aux_channels,
+            use_weight_norm=self.use_weight_norm,
+        )
+
+        def strip(d):
+            # the reference mutates these dicts to inject channel sizes
+            # (hnusfgan.py:113-125); accept either form
+            return {k: v for k, v in d.items() if k not in common}
+
+        return (
+            ResidualBlocks(**strip(self.harmonic_params), **common),
+            ResidualBlocks(**strip(self.noise_params), **common),
+            ResidualBlocks(**strip(self.filter_params), **common),
+        )
+
+    def init(self, key):
+        ks = jax.random.split(key, 9)
+        wn = self.use_weight_norm
+        harm, noise, filt = self._nets()
+        upsampler = ConvInUpsampleNetwork(
+            tuple(self.upsample_scales), self.aux_channels,
+            self.aux_context_window, wn,
+        )
+        per = PeriodicityEstimator(
+            self.aux_channels, self.residual_channels,
+            self.periodicity_layers, self.periodicity_kernel,
+            use_weight_norm=wn,
+        )
+        return {
+            "conv_first_sine": _maybe_wn(
+                conv1d_init(ks[0], 1, self.in_channels, self.residual_channels), wn),
+            "conv_first_noise": _maybe_wn(
+                conv1d_init(ks[1], 1, self.in_channels, self.residual_channels), wn),
+            "upsample": upsampler.init(ks[2]),
+            "harmonic": harm.init(ks[3]),
+            "noise": noise.init(ks[4]),
+            "filter": filt.init(ks[5]),
+            "periodicity": per.init(ks[6]),
+            "last1": _maybe_wn(
+                conv1d_init(ks[7], 1, self.skip_channels, self.skip_channels), wn),
+            "last2": _maybe_wn(
+                conv1d_init(ks[8], 1, self.skip_channels, self.out_channels), wn),
+        }
+
+    def _conv_last(self, p, x):
+        x = _conv(jax.nn.relu(x), p["last1"])
+        return _conv(jax.nn.relu(x), p["last2"])
+
+    def apply(self, p, x, c, d):
+        """Forward (hnusfgan.py:147-194).
+
+        Args:
+            x: (B, T, 2) sine‖noise excitation.
+            c: (B, T' + 2*aux_context_window, aux) conditioning features.
+            d: (B, T) pitch-dependent dilation factors.
+        Returns:
+            (waveform (B, T, 1), source (B, T, 1))
+        """
+        harm, noise, filt = self._nets()
+        upsampler = ConvInUpsampleNetwork(
+            tuple(self.upsample_scales), self.aux_channels,
+            self.aux_context_window, self.use_weight_norm,
+        )
+        per = PeriodicityEstimator(
+            self.aux_channels, self.residual_channels,
+            self.periodicity_layers, self.periodicity_kernel,
+            use_weight_norm=self.use_weight_norm,
+        )
+
+        c = upsampler.apply(p["upsample"], c)
+        a = per.apply(p["periodicity"], c)
+
+        sine, nz = x[..., :1], x[..., 1:]
+        h = _conv(sine, p["conv_first_sine"])
+        n = _conv(nz, p["conv_first_noise"])
+        h = harm.apply(p["harmonic"], h, c, d)
+        n = noise.apply(p["noise"], n, c, d)
+        s = a * h + (1.0 - a) * n
+        out = filt.apply(p["filter"], s, c, d)
+        return self._conv_last(p, out), self._conv_last(p, s)
