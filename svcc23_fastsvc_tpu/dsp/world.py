@@ -1,0 +1,311 @@
+"""WORLD-style spectral analysis for the B02 recipe, TPU-native.
+
+The reference calls pyworld (C++ WORLD) + pysptk (C SPTK) for this stage
+(/root/reference/harana/bin/preprocess_b02.py:277-288):
+    cheaptrick  -> spectral envelope (power)
+    d4c         -> aperiodicity
+    sp2mc       -> 60-d mel-cepstrum (alpha = mcepalpha(fs))
+    code_aperiodicity -> 3-band coded aperiodicity (dB)
+plus continuous log-F0 (slinear interp over voiced frames) and V/UV.
+
+This module re-implements the analysis from the algorithms, vectorized over
+frames so each utterance is one XLA program:
+  * cheaptrick: F0-adaptive Hann(3T0) windowing -> power spectrum ->
+    rectangular smoothing of width 2f0/3 (cumulative-integral form) ->
+    cepstral liftering with ls(τ)=sinc(f0 τ) and lq(τ)=(1+2q1)+2q1 cos(2πf0τ),
+    q1=-0.15 (Morise 2015). Same math as WORLD; the discrete smoothing uses
+    linear-interpolated integration rather than WORLD's exact mirrored
+    summation, so envelopes agree to interpolation error, not bit-exactly.
+  * aperiodicity: per-band periodicity from the normalized autocorrelation
+    at the pitch lag of band-passed frames (a deliberate simplification of
+    D4C's group-delay statistic — documented deviation; produces the same
+    3-band coded-dB contract consumed by the vocoder).
+  * sp2mc / mc2sp: real-cepstrum + SPTK freqt warping recursion; mcepalpha
+    by the same brute-force mel-warping fit pysptk uses.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.stft import frame_signal
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def world_fft_size(fs: int, f0_floor: float = 71.0) -> int:
+    return 1 << int(math.ceil(math.log2(3.0 * fs / f0_floor + 1.0)))
+
+
+def mcepalpha(fs: int, start: float = 0.0, stop: float = 1.0,
+              step: float = 0.001, num_points: int = 1000) -> float:
+    """All-pass warping coefficient best matching the mel scale at fs
+    (same brute-force fit as pysptk.util.mcepalpha)."""
+    alphas = np.arange(start, stop, step)
+    omega = np.linspace(0, 0.5, num_points + 1)[1:]
+    mel = 1000.0 / np.log(2.0) * np.log(1.0 + omega * fs / 1000.0)
+    mel /= mel[-1]
+    best, best_err = 0.0, np.inf
+    two_pi_om = 2 * np.pi * omega
+    for a in alphas:
+        warp = np.arctan((1 - a * a) * np.sin(two_pi_om)
+                         / ((1 + a * a) * np.cos(two_pi_om) - 2 * a))
+        warp = np.where(warp < 0, warp + np.pi, warp)
+        warp /= warp[-1]
+        err = np.sum((warp - mel) ** 2)
+        if err < best_err:
+            best, best_err = a, err
+    return float(best)
+
+
+# ---------------------------------------------------------------------------
+# CheapTrick spectral envelope
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("fs", "fft_size", "q1", "default_f0"))
+def cheaptrick(x, f0, positions, *, fs: int, fft_size: int = 0,
+               q1: float = -0.15, default_f0: float = 500.0):
+    """F0-adaptive spectral envelope (power) per frame.
+
+    Args:
+        x: (T,) signal.
+        f0: (F,) per-frame F0 (0 = unvoiced -> default_f0).
+        positions: (F,) frame-center sample positions.
+    Returns:
+        (F, fft_size//2 + 1) power envelope.
+    """
+    if fft_size == 0:
+        fft_size = world_fft_size(fs)
+    T = x.shape[0]
+    F = f0.shape[0]
+    half = fft_size // 2
+    f0v = jnp.where(f0 > 0, f0, default_f0)
+    f0v = jnp.maximum(f0v, 3.0 * fs / fft_size)  # window must fit
+
+    # --- F0-adaptive windowing (WORLD GetWindowedWaveform) -------------
+    base = jnp.arange(-half, half)  # (fft_size,)
+    idx = positions[:, None] + base[None, :]
+    seg = jnp.where((idx >= 0) & (idx < T), x[jnp.clip(idx, 0, T - 1)], 0.0)
+    t_rel = base[None, :] / fs  # seconds from frame center
+    half_len = 1.5 / f0v[:, None]
+    in_win = jnp.abs(t_rel) <= half_len
+    window = jnp.where(
+        in_win, 0.5 * jnp.cos(jnp.pi * t_rel * f0v[:, None] / 1.5) + 0.5, 0.0
+    )
+    wsum = jnp.sum(window, axis=1, keepdims=True)
+    seg = seg * window
+    seg = seg - window * (jnp.sum(seg, axis=1, keepdims=True) / wsum)
+
+    power = jnp.abs(jnp.fft.rfft(seg, fft_size, axis=1)) ** 2  # (F, half+1)
+
+    # --- rectangular smoothing, width 2 f0 / 3 -------------------------
+    n_bins = half + 1
+    df = fs / fft_size
+    # reflect-pad the spectrum at DC/Nyquist like WORLD's mirrored sum
+    pad = n_bins // 2
+    spec_ext = jnp.concatenate(
+        [power[:, 1 : pad + 1][:, ::-1], power, power[:, -pad - 1 : -1][:, ::-1]],
+        axis=1,
+    )
+    cum = jnp.cumsum(spec_ext, axis=1) * df
+    cum = jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum], axis=1)
+    freqs = jnp.arange(n_bins) * df
+
+    def interp_cum(c_row, q):
+        # linear interpolation of the cumulative integral at frequency q
+        pos = q / df
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, spec_ext.shape[1] - 1)
+        frac = pos - lo
+        return c_row[lo] + frac * (c_row[jnp.clip(lo + 1, 0, spec_ext.shape[1])] - c_row[lo])
+
+    width = 2.0 * f0v / 3.0  # (F,)
+    q_hi = freqs[None, :] + width[:, None] / 2 + pad * df
+    q_lo = freqs[None, :] - width[:, None] / 2 + pad * df
+    smoothed = (
+        jax.vmap(lambda c, qh, ql: jax.vmap(lambda a, b: interp_cum(c, a) - interp_cum(c, b))(qh, ql))(
+            cum, q_hi, q_lo
+        )
+        / width[:, None]
+    )
+    smoothed = jnp.maximum(smoothed, 1e-12)
+
+    # --- liftering (SmoothingWithRecovery) -----------------------------
+    log_s = jnp.log(smoothed)
+    cep = jnp.fft.irfft(log_s, fft_size, axis=1)[:, : half + 1]
+    tau = jnp.arange(half + 1) / fs
+    arg = f0v[:, None] * tau[None, :]
+    ls = jnp.where(arg > 1e-9, jnp.sin(jnp.pi * arg) / (jnp.pi * arg), 1.0)
+    lq = (1.0 + 2.0 * q1) + 2.0 * q1 * jnp.cos(2.0 * jnp.pi * arg)
+    cep = cep * ls * lq
+    # symmetric extension back to full length for the forward transform
+    full = jnp.concatenate([cep, cep[:, -2:0:-1]], axis=1)
+    log_env = jnp.real(jnp.fft.rfft(full, axis=1))
+    return jnp.exp(log_env)
+
+
+# ---------------------------------------------------------------------------
+# aperiodicity (simplified D4C) + coding
+# ---------------------------------------------------------------------------
+
+
+def band_aperiodicity(x, f0, positions, *, fs: int, n_bands: int | None = None,
+                      frame_length: int = 0):
+    """Per-frame per-band aperiodicity in (0, 1].
+
+    Band b covers ((b)·3kHz, (b+1)·3kHz] like WORLD's coarse aperiodicity.
+    Periodicity = normalized autocorrelation of the band-passed frame at the
+    pitch lag; aperiodicity = sqrt(max(0, 1 - periodicity)).
+    """
+    if n_bands is None:
+        n_bands = max(int(fs / 2 / 3000) - 1, 1)
+    if frame_length == 0:
+        frame_length = world_fft_size(fs) // 2
+    T = x.shape[0]
+    half = frame_length // 2
+    base = jnp.arange(-half, half)
+    idx = positions[:, None] + base[None, :]
+    seg = jnp.where((idx >= 0) & (idx < T), x[jnp.clip(idx, 0, T - 1)], 0.0)
+    # rectangular frames: a taper would amplitude-modulate the lag
+    # correlation and bias periodicity low
+    spec = jnp.fft.rfft(seg, axis=1)
+    n_bins = spec.shape[1]
+    freqs = np.arange(n_bins) * fs / frame_length
+
+    f0v = jnp.where(f0 > 0, f0, 500.0)
+    lag = jnp.clip(jnp.round(fs / f0v).astype(jnp.int32), 1, half - 1)
+
+    N = frame_length
+    t_idx = jnp.arange(N)[None, :]
+    overlap = t_idx < (N - lag[:, None])  # valid region for the shifted product
+    aps = []
+    for b in range(n_bands):
+        lo, hi = 3000.0 * b, 3000.0 * (b + 1)
+        mask = jnp.asarray(((freqs >= lo) & (freqs < hi)).astype(np.float32))
+        band = jnp.fft.irfft(spec * mask, axis=1)
+        # normalized cross-correlation with the pitch-lag shift over the
+        # overlapping region (window-bias-free, unlike plain r(τ)/r(0))
+        shifted = jnp.take_along_axis(
+            band, jnp.clip(t_idx + lag[:, None], 0, N - 1), axis=1
+        )
+        r = jnp.sum(band * shifted * overlap, axis=1)
+        e1 = jnp.sum(jnp.square(band) * overlap, axis=1)
+        e2 = jnp.sum(jnp.square(shifted) * overlap, axis=1)
+        periodicity = jnp.clip(
+            r / jnp.sqrt(jnp.maximum(e1 * e2, 1e-20)), 0.0, 1.0
+        )
+        ap = jnp.sqrt(jnp.maximum(1.0 - periodicity, 1e-6))
+        ap = jnp.where(f0 > 0, ap, 0.999999)
+        aps.append(ap)
+    return jnp.stack(aps, axis=1)  # (F, n_bands)
+
+
+def code_aperiodicity(ap_bands):
+    """Coded band aperiodicity in dB (WORLD code_aperiodicity contract)."""
+    return 20.0 * jnp.log10(ap_bands)
+
+
+# ---------------------------------------------------------------------------
+# mel-cepstrum (SPTK sp2mc / mc2sp)
+# ---------------------------------------------------------------------------
+
+
+def freqt(c, order: int, alpha: float):
+    """SPTK frequency-transform recursion, vectorized over frames.
+
+    c: (F, M1+1) cepstra -> (F, order+1) warped cepstra.
+    """
+    F, m1p1 = c.shape
+
+    def outer(carry, c_i):
+        # carry: (F, order+1) current wc; c_i: (F,) input coefficient
+        prev = carry
+
+        def inner(wc, m):
+            # wc built progressively: needs wc[m-1]
+            val = prev[:, m - 1] + alpha * (prev[:, m] - wc[:, m - 1])
+            return wc.at[:, m].set(val), None
+
+        wc = jnp.zeros_like(prev)
+        wc = wc.at[:, 0].set(c_i + alpha * prev[:, 0])
+        if wc.shape[1] > 1:
+            wc = wc.at[:, 1].set(
+                (1 - alpha**2) * prev[:, 0] + alpha * prev[:, 1]
+            )
+            ms = jnp.arange(2, wc.shape[1])
+            wc, _ = jax.lax.scan(inner, wc, ms)
+        return wc, None
+
+    init = jnp.zeros((F, order + 1), c.dtype)
+    wc, _ = jax.lax.scan(outer, init, jnp.moveaxis(c, 1, 0)[::-1])
+    return wc
+
+
+def sp2mc(powerspec, order: int, alpha: float):
+    """Power spectrum (F, n_fft//2+1) -> mel-cepstrum (F, order+1)
+    (pysptk sp2mc semantics)."""
+    logsp = jnp.log(powerspec)
+    c = jnp.fft.irfft(logsp, axis=1)  # length (n_bins-1)*2
+    n_bins = powerspec.shape[1]
+    c = c[:, :n_bins]
+    c = c.at[:, 0].set(c[:, 0] / 2.0)
+    return freqt(c, order, alpha)
+
+
+def mc2sp(mc, alpha: float, fft_size: int):
+    """Inverse of sp2mc (for round-trip validation)."""
+    n_bins = fft_size // 2 + 1
+    c = freqt(mc, n_bins - 1, -alpha)
+    c = c.at[:, 0].set(c[:, 0] * 2.0)
+    sym = jnp.concatenate([c, c[:, -2:0:-1]], axis=1)
+    log_sp = jnp.real(jnp.fft.rfft(sym, axis=1))
+    return jnp.exp(log_sp)
+
+
+# ---------------------------------------------------------------------------
+# continuous log-F0
+# ---------------------------------------------------------------------------
+
+
+def continuous_lf0(f0):
+    """(F,) F0 -> (lf0 (F,), vuv (F,)) with slinear interpolation over
+    unvoiced gaps (reference preprocess_b02.py:49-105,297-303)."""
+    f0 = np.asarray(f0, dtype=np.float64).copy()
+    lf0 = f0.copy()
+    nz = f0 > 0
+    lf0[nz] = np.log(f0[nz])
+    vuv = (lf0 != 0).astype(np.float32)
+    idx = np.where(lf0 > 0)[0]
+    if len(idx) == 0:
+        return lf0.astype(np.float32), vuv
+    lf0[0] = lf0[idx[0]]
+    lf0[-1] = lf0[idx[-1]]
+    idx = np.where(lf0 > 0)[0]
+    zero = np.where(lf0 <= 0)[0]
+    if len(zero):
+        lf0[zero] = np.interp(zero, idx, lf0[idx])
+    return lf0.astype(np.float32), vuv
+
+
+def world_analyze(x, f0, *, fs: int, hop: int, mcep_order: int = 59,
+                  alpha: float | None = None):
+    """Full B02 analysis bundle: (mcep, bap, lf0, vuv) from signal + F0."""
+    if alpha is None:
+        alpha = mcepalpha(fs)
+    positions = jnp.arange(f0.shape[0]) * hop
+    f0j = jnp.asarray(f0, jnp.float32)
+    xj = jnp.asarray(x, jnp.float32)
+    sp = cheaptrick(xj, f0j, positions, fs=fs)
+    mcep = sp2mc(sp, mcep_order, alpha)
+    ap = band_aperiodicity(xj, f0j, positions, fs=fs)
+    bap = code_aperiodicity(ap)
+    lf0, vuv = continuous_lf0(np.asarray(f0))
+    return np.asarray(mcep), np.asarray(bap), lf0, vuv
