@@ -99,3 +99,57 @@ class FastSVCBatcher:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         while True:
             yield self.sample_batch()
+
+
+class B02Batcher:
+    """Fixed-shape variable-length batches for the B02 acoustic model.
+
+    Replaces the reference sort+pad collater (train_b02.py:425-474). TPU
+    needs static shapes, so every batch is padded/truncated to `max_frames`
+    with a lengths vector; masking in the loss and the length-aware BLSTM
+    make padding inert.
+    """
+
+    def __init__(self, dataset, *, batch_size: int = 16, max_frames: int = 400,
+                 seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.max_frames = max_frames
+        self.rng = np.random.default_rng(seed)
+
+    def sample_batch(self):
+        B, F = self.batch_size, self.max_frames
+        picks = self.rng.choice(len(self.dataset), size=B, replace=True)
+        first = self.dataset[picks[0]]
+        off = 1 if getattr(self.dataset, "return_utt_id", False) else 0
+        ppg_dim = first[2 + off].shape[-1]
+        emb_dim = np.asarray(first[8 + off]).reshape(-1).shape[0]
+        out_dim = first[6 + off].shape[-1] + first[7 + off].shape[-1]
+
+        batch = {
+            "ppg": np.zeros((B, F, ppg_dim), np.float32),
+            "lft": np.zeros((B, F, 1), np.float32),
+            "lf0": np.zeros((B, F, 1), np.float32),
+            "spk_emb": np.zeros((B, emb_dim), np.float32),
+            "targets": np.zeros((B, F, out_dim), np.float32),
+            "lengths": np.zeros((B,), np.int32),
+        }
+        for bi, idx in enumerate(picks):
+            item = self.dataset[idx]
+            if off:
+                item = item[1:]
+            _, _, ppg, lft, lf0, _, mcep, bap, emb = item
+            L = min(len(ppg), len(mcep), len(lf0), len(lft), F)
+            batch["ppg"][bi, :L] = ppg[:L]
+            batch["lft"][bi, :L] = np.asarray(lft).reshape(-1, 1)[:L]
+            batch["lf0"][bi, :L] = np.asarray(lf0).reshape(-1, 1)[:L]
+            batch["spk_emb"][bi] = np.asarray(emb, np.float32).reshape(-1)
+            batch["targets"][bi, :L] = np.concatenate(
+                [mcep[:L], bap[:L]], axis=-1
+            )
+            batch["lengths"][bi] = L
+        return batch
+
+    def __iter__(self):
+        while True:
+            yield self.sample_batch()

@@ -91,3 +91,81 @@ class FastSVCDataset:
         if self._cache is not None:
             self._cache[idx] = items
         return items
+
+
+class B02Dataset:
+    """B02 acoustic-model dataset (reference audio_feats_dataset.py:124-232).
+
+    Per-utterance fields: ppg (T', 256), lft (T', 1) frame-rate loudness,
+    lf0 (T', 1) continuous log-F0, spk_emb, targets mcep (T', 60) ‖ bap
+    (T', 3); wave/f0 kept for decode bookkeeping.
+    """
+
+    FIELDS = ("wave", "f0", "ppg", "lft", "lf0", "vuv", "mcep", "bap", "spk_emb")
+
+    def __init__(self, root_dir: str, *, query: str = "*.h5",
+                 return_utt_id: bool = False, allow_cache: bool = True):
+        files = find_files(root_dir, query)
+        if not files:
+            raise FileNotFoundError(f"no {query} files under {root_dir}")
+        self.files = files
+        self.utt_ids = [os.path.splitext(os.path.basename(f))[0] for f in files]
+        self.return_utt_id = return_utt_id
+        self._cache = {} if allow_cache else None
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx: int):
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
+        f = self.files[idx]
+        items = tuple(np.asarray(read_hdf5(f, name)) for name in self.FIELDS)
+        if self.return_utt_id:
+            items = (self.utt_ids[idx],) + items
+        if self._cache is not None:
+            self._cache[idx] = items
+        return items
+
+
+class USFGANDataset:
+    """Vocoder dataset over decoded/original h5 bundles
+    (reference audio_feats_dataset.py:235-345): aux = mcep ‖ bap, plus the
+    pitch-dependent dilation factors repeated to sample rate."""
+
+    def __init__(self, root_dir: str, *, sample_rate: int = 24000,
+                 hop_size: int = 160, dense_factor: int = 4,
+                 query: str = "*.h5", return_utt_id: bool = False):
+        from ..dsp.f0 import dilated_factor
+
+        self._dilated_factor = dilated_factor
+        files = find_files(root_dir, query)
+        if not files:
+            raise FileNotFoundError(f"no {query} files under {root_dir}")
+        self.files = files
+        self.utt_ids = [os.path.splitext(os.path.basename(f))[0] for f in files]
+        self.sample_rate = sample_rate
+        self.hop_size = hop_size
+        self.dense_factor = dense_factor
+        self.return_utt_id = return_utt_id
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx: int):
+        f = self.files[idx]
+        audio = np.asarray(read_hdf5(f, "wave")).reshape(-1)
+        mcep = np.asarray(read_hdf5(f, "mcep"))
+        bap = np.asarray(read_hdf5(f, "bap"))
+        f0 = np.asarray(read_hdf5(f, "f0")).reshape(-1)
+        aux = np.concatenate([mcep, bap], axis=1)
+        f0_t, aux = validate_length([f0, aux])
+        audio, f0_t = (lambda r: (r[1], r[0]))(
+            validate_length([f0_t], [audio], self.hop_size)
+        )
+        df = self._dilated_factor(f0_t.copy(), self.sample_rate, self.dense_factor)
+        df = np.repeat(df, self.hop_size, axis=0)
+        items = (audio[: len(f0_t) * self.hop_size], aux, df, f0_t)
+        if self.return_utt_id:
+            items = (self.utt_ids[idx],) + items
+        return items

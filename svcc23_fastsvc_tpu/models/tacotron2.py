@@ -232,11 +232,14 @@ class Tacotron2:
             decs.append({"cell": cell(next(ks), din, H), "pj": lin(next(ks), H, H)})
 
         bd = self.bap_dim_in or (self.input_dim + 2)
+        # reference channel schedule 258 -> 86 -> 43 -> 21 -> 3; generalized
+        # so the final stream is always bap_out wide
+        c1, c2, c3 = max(bd // 3, 1), max(bd // 6, 1), max(bd // 12, 1)
         bap = {
-            "conv0": convp(next(ks), bd, bd // 3, 3, bias=True),
-            "conv1": convp(next(ks), bd // 3, bd // 6, 3, bias=True),
-            "conv2": convp(next(ks), bd // 6, bd // 12, 1, bias=True),
-            "conv3": convp(next(ks), bd // 12, bd // 84, 3, bias=True),
+            "conv0": convp(next(ks), bd, c1, 3, bias=True),
+            "conv1": convp(next(ks), c1, c2, 3, bias=True),
+            "conv2": convp(next(ks), c2, c3, 1, bias=True),
+            "conv3": convp(next(ks), c3, self.bap_out, 3, bias=True),
             "bn": bn(self.bap_out),
         }
         p = {

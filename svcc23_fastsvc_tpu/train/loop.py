@@ -54,9 +54,7 @@ class Trainer:
         else:
             self._gen_step, self._gan_step = task.jit_steps(donate=True)
             self._shard = lambda b: b
-        self._eval_step = jax.jit(
-            lambda s, b: task.eval_step(s, b, with_adv=True)
-        )
+        self._eval_step = jax.jit(lambda s, b: task.eval_step(s, b))
         self.total = defaultdict(float)
         self.n_since_log = 0
 
