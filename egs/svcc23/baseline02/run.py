@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""B02 decomposed recipe: staged pipeline driver (TPU).
+
+Mirrors /root/reference/egs/svcc23/baseline02/run.sh:44-209:
+  stage 0: speaker embeddings
+  stage 1: feature extraction (linguistic units + WORLD analysis)
+  stage 2: statistics
+  stage 3: normalization
+  stage 4: Tacotron2 acoustic model training
+  stage 5: acoustic model decoding -> converted feature bundles
+  stage 7: HN-uSFGAN vocoder synthesis (expects a vocoder checkpoint dir)
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", ".."))
+sys.path.insert(0, REPO)
+
+
+def sh(mod, *args):
+    cmd = [sys.executable, "-m", f"svcc23_fastsvc_tpu.bin.{mod}", *map(str, args)]
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--stage", type=int, default=0)
+    p.add_argument("--stop-stage", type=int, default=7)
+    p.add_argument("--conf", default="conf/taco2.yaml")
+    p.add_argument("--f0-conf", default="conf/f0.yml")
+    p.add_argument("--datadir", default="data")
+    p.add_argument("--dumpdir", default="dump")
+    p.add_argument("--expdir", default="exp")
+    p.add_argument("--tag", default="taco2")
+    p.add_argument("--linguistic", default="logmel", choices=["logmel", "hubert"])
+    p.add_argument("--hubert-checkpoint", default=None)
+    p.add_argument("--vocoder-dir", default=None)
+    p.add_argument("--f0-stats", default="conf/lf0_stats.yml")
+    p.add_argument("--speakers", nargs="*", default=["IDM1"])
+    args = p.parse_args()
+
+    train_scp = os.path.join(args.datadir, "train", "wav.scp")
+    dev_scp = os.path.join(args.datadir, "dev", "wav.scp")
+    spk_embs = os.path.join(args.dumpdir, "spk_embs.h5")
+    exp = os.path.join(args.expdir, args.tag)
+
+    def dump(split, norm=False):
+        return os.path.join(args.dumpdir, f"{split}{'_norm' if norm else ''}")
+
+    if args.stage <= 0 <= args.stop_stage:
+        sh("extract_spk_embs", "--wav-scp", train_scp, "--out-file", spk_embs,
+           "--mode", "hash")
+
+    if args.stage <= 1 <= args.stop_stage:
+        for split, scp in (("train", train_scp), ("dev", dev_scp)):
+            if not os.path.exists(scp):
+                continue
+            extra = []
+            if args.linguistic == "hubert":
+                extra = ["--hubert-checkpoint", args.hubert_checkpoint]
+            if os.path.exists(args.f0_conf):
+                extra += ["--f0-config", args.f0_conf]
+            sh("preprocess_b02", "--wav-scp", scp, "--dumpdir", dump(split),
+               "--config", args.conf, "--spk-emb-file", spk_embs,
+               "--linguistic", args.linguistic, *extra)
+
+    stats = os.path.join(args.dumpdir, "stats_b02.joblib")
+    if args.stage <= 2 <= args.stop_stage:
+        sh("compute_statistics_b02", "--dumpdir", dump("train"),
+           "--dumpfile", stats)
+
+    if args.stage <= 3 <= args.stop_stage:
+        for split in ("train", "dev"):
+            if os.path.isdir(dump(split)):
+                sh("normalize_b02", "--dumpdir", dump(split),
+                   "--outdir", dump(split, norm=True), "--stats", stats)
+
+    if args.stage <= 4 <= args.stop_stage:
+        extra = []
+        if os.path.isdir(dump("dev", norm=True)):
+            extra = ["--dev-dumpdir", dump("dev", norm=True)]
+        sh("train_b02", "--train-dumpdir", dump("train", norm=True),
+           "--outdir", exp, "--config", args.conf, "--resume", *extra)
+
+    if args.stage <= 5 <= args.stop_stage:
+        sh("decode_b02", "--dumpdir", dump("dev", norm=True),
+           "--checkpoint-dir", exp,
+           "--outdir", os.path.join(exp, "decoded"),
+           "--spk-emb-file", spk_embs,
+           "--f0-stats", args.f0_stats,
+           "--speakers", *args.speakers)
+
+    if args.stage <= 7 <= args.stop_stage and args.vocoder_dir:
+        sh("synthesize_b02", "--dumpdir", os.path.join(exp, "decoded"),
+           "--outdir", os.path.join(exp, "wav"),
+           "--checkpoint-dir", args.vocoder_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""FastSVC recipe: staged pipeline driver (TPU).
+
+Mirrors the reference shell recipe (/root/reference/egs/svcc23/fastsvc1/
+run.sh:40-186) as a single Python driver:
+
+  stage 0: speaker embedding extraction      (harana stage 0)
+  stage 1: feature extraction                (harana stage 1)
+  stage 2: per-speaker F0 statistics         (harana stage 2)
+  stage 3: statistics + normalization        (harana stage 3)
+  stage 4: GAN training                      (harana stage 4)
+  stage 5: decoding                          (harana stage 5)
+
+Usage:
+  python run.py --stage 0 --stop-stage 5 --conf conf/fastsvc.yaml \
+      --datadir data --expdir exp --tag my_run
+
+Expects data/{train,dev,eval}/wav.scp. The Kaldi job-array layer of the
+reference (run.pl/slurm.pl scp shards) is replaced by the batched, jitted
+feature extractors — one process saturates a chip; multi-host runs shard
+the scp by process id (--n-procs/--proc-id).
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", ".."))
+sys.path.insert(0, REPO)
+
+
+def sh(mod, *args):
+    cmd = [sys.executable, "-m", f"svcc23_fastsvc_tpu.bin.{mod}", *map(str, args)]
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--stage", type=int, default=0)
+    p.add_argument("--stop-stage", type=int, default=5)
+    p.add_argument("--conf", default="conf/fastsvc.yaml")
+    p.add_argument("--f0-conf", default="conf/f0.yml")
+    p.add_argument("--datadir", default="data")
+    p.add_argument("--dumpdir", default="dump")
+    p.add_argument("--expdir", default="exp")
+    p.add_argument("--tag", default="fastsvc")
+    p.add_argument("--linguistic", default="logmel", choices=["logmel", "conformer"])
+    p.add_argument("--ppg-checkpoint", default=None)
+    p.add_argument("--speakers", nargs="*", default=None)
+    args = p.parse_args()
+
+    train_scp = os.path.join(args.datadir, "train", "wav.scp")
+    dev_scp = os.path.join(args.datadir, "dev", "wav.scp")
+    spk_embs = os.path.join(args.dumpdir, "spk_embs.h5")
+    exp = os.path.join(args.expdir, args.tag)
+
+    def dump(split, norm=False):
+        return os.path.join(args.dumpdir, f"{split}{'_norm' if norm else ''}")
+
+    if args.stage <= 0 <= args.stop_stage:
+        sh("extract_spk_embs", "--wav-scp", train_scp, "--out-file", spk_embs,
+           "--mode", "hash")
+
+    if args.stage <= 1 <= args.stop_stage:
+        for split, scp in (("train", train_scp), ("dev", dev_scp)):
+            if not os.path.exists(scp):
+                continue
+            extra = []
+            if args.linguistic == "conformer":
+                extra = ["--ppg-checkpoint", args.ppg_checkpoint]
+            if os.path.exists(args.f0_conf):
+                extra += ["--f0-config", args.f0_conf]
+            sh("preprocess_fastsvc", "--wav-scp", scp, "--dumpdir", dump(split),
+               "--config", args.conf, "--spk-emb-file", spk_embs,
+               "--linguistic", args.linguistic, *extra)
+
+    if args.stage <= 2 <= args.stop_stage:
+        sh("compute_f0stats", "--dumpdir", dump("train"),
+           "--outdir", os.path.join(args.dumpdir, "f0_stats"))
+
+    if args.stage <= 3 <= args.stop_stage:
+        stats = os.path.join(args.dumpdir, "stats.joblib")
+        sh("compute_statistics_fastsvc", "--dumpdir", dump("train"),
+           "--dumpfile", stats)
+        for split in ("train", "dev"):
+            if os.path.isdir(dump(split)):
+                sh("normalize_fastsvc", "--dumpdir", dump(split),
+                   "--outdir", dump(split, norm=True), "--stats", stats)
+
+    if args.stage <= 4 <= args.stop_stage:
+        extra = []
+        if os.path.isdir(dump("dev", norm=True)):
+            extra = ["--dev-dumpdir", dump("dev", norm=True)]
+        sh("train_fastsvc", "--train-dumpdir", dump("train", norm=True),
+           "--outdir", exp, "--config", args.conf, "--resume", *extra)
+
+    if args.stage <= 5 <= args.stop_stage:
+        extra = []
+        if args.speakers:
+            extra = ["--speakers", *args.speakers]
+        sh("decode_fastsvc", "--dumpdir", dump("dev", norm=True),
+           "--checkpoint-dir", exp,
+           "--outdir", os.path.join(exp, "wav"),
+           "--f0-stats-dir", os.path.join(args.dumpdir, "f0_stats"),
+           "--spk-emb-file", spk_embs, *extra)
+
+
+if __name__ == "__main__":
+    main()

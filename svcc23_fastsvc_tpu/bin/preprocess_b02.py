@@ -50,6 +50,15 @@ def loudness_extract_frames(audio, sr, hop):
 
 def extract_b02_features(utt_id, audio, sr, cfg, *, f0min, f0max,
                          linguistic="logmel", ppg_model=None):
+    if cfg.get("trim_silence"):
+        from ..dsp.trim import trim_silence
+
+        audio, _ = trim_silence(
+            np.asarray(audio),
+            top_db=cfg.get("trim_threshold_in_db", 60),
+            frame_length=cfg.get("trim_frame_size", 2048),
+            hop_length=cfg.get("trim_hop_size", 512),
+        )
     target_sr = cfg["sampling_rate"]
     hop = cfg["hop_size"]
     shiftms = cfg.get("shiftms", 160 / target_sr * 1000)

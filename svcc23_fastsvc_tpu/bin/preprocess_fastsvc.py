@@ -56,6 +56,15 @@ def extract_features(
     ppg_model=None,
 ):
     """Compute the FastSVC feature bundle for one utterance."""
+    if cfg.get("trim_silence"):
+        from ..dsp.trim import trim_silence
+
+        audio, _ = trim_silence(
+            np.asarray(audio),
+            top_db=cfg.get("trim_threshold_in_db", 60),
+            frame_length=cfg.get("trim_frame_size", 2048),
+            hop_length=cfg.get("trim_hop_size", 512),
+        )
     target_sr = cfg["sampling_rate"]
     hop = cfg["hop_size"]
     audio16 = resample(audio, sr, 16000)

@@ -11,11 +11,18 @@ from .fastsvc import (  # noqa: F401
     MelGANMultiScaleDiscriminator,
     HiFiGANMultiScaleMultiPeriodDiscriminator,
 )
+from .tacotron2 import Tacotron2, MultiSubFreqDiscriminator  # noqa: F401
+from .hnusfgan import HNUSFGANGenerator  # noqa: F401
 
 MODEL_REGISTRY = {
     "FastSVCGenerator": FastSVCGenerator,
     "MelGANMultiScaleDiscriminator": MelGANMultiScaleDiscriminator,
     "HiFiGANMultiScaleMultiPeriodDiscriminator": HiFiGANMultiScaleMultiPeriodDiscriminator,
+    # reference YAMLs use "Tacotron2Wrapper" (tacotron2.py:582) — same model
+    "Tacotron2": Tacotron2,
+    "Tacotron2Wrapper": Tacotron2,
+    "MultiSubFreqDiscriminator": MultiSubFreqDiscriminator,
+    "HNUSFGANGenerator": HNUSFGANGenerator,
 }
 
 

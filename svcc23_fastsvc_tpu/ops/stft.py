@@ -39,10 +39,22 @@ def _num_frames(padded_len: int, fft_size: int, hop: int) -> int:
 def frame_signal(x, frame_length: int, hop: int):
     """Split (..., T) into (..., n_frames, frame_length) frames.
 
-    Static-shape gather: the index matrix is a compile-time constant.
+    When hop divides frame_length (every config in this codebase: the loss
+    resolutions are all 4x-overlap, the frontends hop-align), framing is
+    built from k = frame_length//hop shifted strided reshapes — slices whose
+    adjoint is pad+add, so the STFT-loss backward avoids the scatter-add a
+    gather adjoint would produce (a large cost on TPU). Falls back to a
+    static-index gather otherwise.
     """
     T = x.shape[-1]
     n_frames = _num_frames(T, frame_length, hop)
+    if frame_length % hop == 0:
+        k = frame_length // hop
+        batch_shape = x.shape[:-1]
+        n_chunks = T // hop
+        xc = x[..., : n_chunks * hop].reshape(*batch_shape, n_chunks, hop)
+        parts = [xc[..., i : i + n_frames, :] for i in range(k)]
+        return jnp.concatenate(parts, axis=-1)
     idx = (
         np.arange(n_frames)[:, None] * hop + np.arange(frame_length)[None, :]
     )

@@ -6,3 +6,8 @@ from .mesh import (  # noqa: F401
     replicate,
     jit_train_step_dp,
 )
+from .distributed import (  # noqa: F401
+    initialize,
+    HostShardedBatcher,
+    global_batch,
+)

@@ -58,6 +58,7 @@ class FastSVCTrainTask:
     lambda_aux: float = 1.0
     adv_loss_type: str = "mse"
     use_stft_loss: bool = True
+    compute_dtype: Any = None  # e.g. jnp.bfloat16 for mixed precision
 
     # ------------------------------------------------------------------
     # state
@@ -77,11 +78,28 @@ class FastSVCTrainTask:
     # pieces
     # ------------------------------------------------------------------
 
+    def _cast(self, tree):
+        """Cast f32 leaves to the compute dtype (params stay f32 in the
+        optimizer; casts are traced, so grads flow back in f32)."""
+        if self.compute_dtype is None:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(self.compute_dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            tree,
+        )
+
     def _forward(self, g_params, batch, key):
         sine = self.signal_generator(batch["f0"], key)
-        return self.generator.apply(
-            g_params, batch["ppg"], sine, batch["lft"], batch.get("spk_emb")
+        out = self.generator.apply(
+            self._cast(g_params),
+            self._cast(batch["ppg"]),
+            self._cast(sine),
+            self._cast(batch["lft"]),
+            self._cast(batch.get("spk_emb")),
         )
+        # losses (STFT log-magnitude especially) stay in f32
+        return out.astype(jnp.float32)
 
     def _gen_loss(self, g_params, d_params, batch, key, *, with_adv: bool):
         y_hat = self._forward(g_params, batch, key)
@@ -95,7 +113,10 @@ class FastSVCTrainTask:
             metrics["log_stft_magnitude_loss"] = mag
         gen_loss = gen_loss * self.lambda_aux
         if with_adv:
-            p_hat = self.discriminator.apply(d_params, y_hat)
+            p_hat = self.discriminator.apply(
+                self._cast(d_params), self._cast(y_hat)
+            )
+            p_hat = jax.tree.map(lambda t: t.astype(jnp.float32), p_hat)
             adv = generator_adversarial_loss(p_hat, loss_type=self.adv_loss_type)
             metrics["adversarial_loss"] = adv
             gen_loss = gen_loss + self.lambda_adv * adv
@@ -103,8 +124,11 @@ class FastSVCTrainTask:
         return gen_loss, metrics
 
     def _dis_loss(self, d_params, y, y_hat):
-        p = self.discriminator.apply(d_params, y)
-        p_hat = self.discriminator.apply(d_params, y_hat)
+        dp = self._cast(d_params)
+        p = self.discriminator.apply(dp, self._cast(y))
+        p_hat = self.discriminator.apply(dp, self._cast(y_hat))
+        p = jax.tree.map(lambda t: t.astype(jnp.float32), p)
+        p_hat = jax.tree.map(lambda t: t.astype(jnp.float32), p_hat)
         real, fake = discriminator_adversarial_loss(
             p_hat, p, loss_type=self.adv_loss_type
         )

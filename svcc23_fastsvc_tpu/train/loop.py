@@ -37,9 +37,11 @@ class Trainer:
         writer=None,
         mesh=None,
     ):
+        from ..data.prefetch import PrefetchIterator
+
         self.task = task
         self.state = state
-        self.train_iter = iter(train_batcher)
+        self.train_iter = PrefetchIterator(train_batcher, depth=2)
         self.dev_batcher = dev_batcher
         self.config = config
         self.outdir = outdir
@@ -55,8 +57,9 @@ class Trainer:
             self._gen_step, self._gan_step = task.jit_steps(donate=True)
             self._shard = lambda b: b
         self._eval_step = jax.jit(lambda s, b: task.eval_step(s, b))
-        self.total = defaultdict(float)
-        self.n_since_log = 0
+        # metrics stay on device until the log flush so _train_step never
+        # blocks on a transfer (keeps async dispatch fully pipelined)
+        self._pending = []
 
     # -- checkpoint management -------------------------------------------
 
@@ -117,6 +120,7 @@ class Trainer:
                     t_last, steps_last = time.time(), step
                 if self.dev_batcher is not None and step % eval_iv == 0:
                     self._evaluate(step)
+                    self._save_intermediate(step)
                 if step % save_iv == 0:
                     self.save(step)
         finally:
@@ -127,12 +131,16 @@ class Trainer:
     # -- logging ---------------------------------------------------------
 
     def _accumulate(self, metrics):
-        for k, v in metrics.items():
-            self.total[k] += float(jax.device_get(v))
-        self.n_since_log += 1
+        self._pending.append(metrics)
 
     def _flush_logs(self, step, extra=None):
-        items = {k: v / max(self.n_since_log, 1) for k, v in self.total.items()}
+        items = defaultdict(float)
+        if self._pending:
+            host = jax.device_get(self._pending)  # one batched transfer
+            for m in host:
+                for k, v in m.items():
+                    items[k] += float(v)
+            items = {k: v / len(host) for k, v in items.items()}
         if extra:
             items.update(extra)
         msg = ", ".join(f"{k}={v:.4f}" for k, v in sorted(items.items()))
@@ -140,8 +148,7 @@ class Trainer:
         if self.writer is not None:
             for k, v in items.items():
                 self.writer.add_scalar(f"train/{k}", v, step)
-        self.total.clear()
-        self.n_since_log = 0
+        self._pending = []
 
     def _evaluate(self, step):
         totals = defaultdict(float)
@@ -161,3 +168,29 @@ class Trainer:
         if self.writer is not None:
             for k, v in items.items():
                 self.writer.add_scalar(f"eval/{k}", v, step)
+
+    def _save_intermediate(self, step):
+        """Dump a few generated waveforms for listening (reference
+        train_fastsvc.py:353-403, num_save_intermediate_results)."""
+        n = self.config.get("num_save_intermediate_results", 0)
+        if not n or not hasattr(self.task, "_forward"):
+            return
+        try:
+            import os
+
+            from ..bin.common import write_wav
+
+            batch = next(iter(self.dev_batcher))
+            key = jax.random.PRNGKey(step)
+            y_hat = jax.device_get(
+                self.task._forward(self.state.g_params, self._shard(batch), key)
+            )
+            outdir = os.path.join(self.outdir, "predictions", f"step{step}")
+            os.makedirs(outdir, exist_ok=True)
+            sr = self.config.get("sampling_rate", 16000)
+            for i in range(min(n, y_hat.shape[0])):
+                write_wav(os.path.join(outdir, f"{i}_gen.wav"), y_hat[i, :, 0], sr)
+                write_wav(os.path.join(outdir, f"{i}_ref.wav"),
+                          np.asarray(batch["audio"][i, :, 0]), sr)
+        except Exception as e:  # never kill training over a dump
+            logging.warning("intermediate dump failed: %s", e)

@@ -1,0 +1,43 @@
+"""Objective evaluation metrics.
+
+The reference publishes no quantitative quality metrics (BASELINE.md); the
+driver's north star includes "mel L1 vs reference", so the framework ships
+the measurement: log-mel distance and mel-cepstral distortion between two
+waveforms, jittable and batched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.stft import mel_filterbank, stft_magnitude
+
+
+def log_mel_spectrogram(x, *, sr: int = 16000, n_fft: int = 1024,
+                        hop: int = 256, n_mels: int = 80):
+    """(..., T) → (..., frames, n_mels) log-mel."""
+    power = stft_magnitude(x, n_fft, hop, n_fft, power=True, clamp_min=1e-10)
+    mel = power @ mel_filterbank(sr, n_fft, n_mels, dtype=power.dtype)
+    return jnp.log(jnp.maximum(mel, 1e-10))
+
+
+def mel_l1(x, y, *, sr: int = 16000, n_fft: int = 1024, hop: int = 256,
+           n_mels: int = 80):
+    """Mean |log-mel(x) − log-mel(y)| over aligned frames."""
+    T = min(x.shape[-1], y.shape[-1])
+    mx = log_mel_spectrogram(x[..., :T], sr=sr, n_fft=n_fft, hop=hop, n_mels=n_mels)
+    my = log_mel_spectrogram(y[..., :T], sr=sr, n_fft=n_fft, hop=hop, n_mels=n_mels)
+    return jnp.mean(jnp.abs(mx - my))
+
+
+def mcd(mcep_x, mcep_y, *, exclude_c0: bool = True):
+    """Mel-cepstral distortion in dB between (F, M) mel-cepstra."""
+    F = min(len(mcep_x), len(mcep_y))
+    a = jnp.asarray(mcep_x)[:F]
+    b = jnp.asarray(mcep_y)[:F]
+    if exclude_c0:
+        a, b = a[:, 1:], b[:, 1:]
+    k = 10.0 / np.log(10.0) * np.sqrt(2.0)
+    return k * jnp.mean(jnp.sqrt(jnp.sum(jnp.square(a - b), axis=1)))

@@ -23,6 +23,18 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: the suite compiles hundreds of small CPU
+# executables; caching them across runs cuts wall time severalfold.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".pytest_cache", "jax_cache",
+)
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
 # Keep matmuls in strict f32 on CPU for parity comparisons.
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 

@@ -1,0 +1,54 @@
+"""Mesh data parallelism on the 8-device virtual CPU backend."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from svcc23_fastsvc_tpu.parallel import (
+    global_batch,
+    jit_train_step_dp,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_step_matches_single_device():
+    """A DP step over 8 devices must equal the same step on one device
+    (same global batch, replicated state)."""
+    from test_train_step import tiny_batch, tiny_task
+
+    task = tiny_task()
+    state0 = task.init_state(jax.random.PRNGKey(0))
+    batch = tiny_batch(jax.random.PRNGKey(1), B=8)
+
+    # single-device
+    s_single, m_single = jax.jit(task.gen_step)(state0, batch)
+
+    # 8-device DP
+    mesh = make_mesh(8)
+    state_r = replicate(task.init_state(jax.random.PRNGKey(0)), mesh)
+    batch_s = shard_batch(batch, mesh)
+    step = jit_train_step_dp(task.gen_step, mesh, donate=False)
+    s_dp, m_dp = step(state_r, batch_s)
+
+    np.testing.assert_allclose(
+        float(m_dp["generator_loss"]), float(m_single["generator_loss"]),
+        rtol=1e-5,
+    )
+    g1 = jax.tree.leaves(s_single.g_params)
+    g2 = jax.tree.leaves(s_dp.g_params)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_global_batch_single_process():
+    mesh = make_mesh(8)
+    local = {"x": np.arange(32, dtype=np.float32).reshape(8, 4)}
+    g = global_batch(local, mesh)
+    assert g["x"].shape == (8, 4)
+    np.testing.assert_array_equal(np.asarray(g["x"]), local["x"])
