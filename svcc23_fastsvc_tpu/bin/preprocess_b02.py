@@ -66,12 +66,20 @@ def extract_b02_features(utt_id, audio, sr, cfg, *, f0min, f0max,
     audio_t = resample(audio, sr, target_sr)
 
     f0_hop = int(target_sr * shiftms / 1000)
-    f0 = np.asarray(
-        yin_f0(
-            jnp.asarray(audio_t, jnp.float32), sr=target_sr, hop=f0_hop,
-            f0_floor=f0min, f0_ceil=f0max,
+    if cfg.get("f0_method", "harvest") == "harvest":
+        from ..dsp.harvest import harvest_f0
+
+        f0 = harvest_f0(
+            audio_t, fs=target_sr, f0_floor=f0min, f0_ceil=f0max,
+            frame_period_ms=shiftms,
+        ).astype(np.float32)
+    else:
+        f0 = np.asarray(
+            yin_f0(
+                jnp.asarray(audio_t, jnp.float32), sr=target_sr, hop=f0_hop,
+                f0_floor=f0min, f0_ceil=f0max,
+            )
         )
-    )
 
     mcep, bap, lf0, vuv = world_analyze(
         audio_t, f0, fs=target_sr, hop=f0_hop,

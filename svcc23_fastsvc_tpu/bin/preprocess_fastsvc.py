@@ -71,15 +71,24 @@ def extract_features(
     audio_t = resample(audio, sr, target_sr)
 
     # F0 at the PPG frame rate (reference f0_extract: shiftms on 16 kHz audio)
-    f0 = np.asarray(
-        yin_f0(
-            jnp.asarray(audio16, jnp.float32),
-            sr=16000,
-            hop=int(16000 * cfg.get("shiftms", 10) / 1000),
-            f0_floor=f0min,
-            f0_ceil=f0max,
+    f0_method = cfg.get("f0_method", "harvest")
+    if f0_method == "harvest":
+        from ..dsp.harvest import harvest_f0
+
+        f0 = harvest_f0(
+            audio16, fs=16000, f0_floor=f0min, f0_ceil=f0max,
+            frame_period_ms=cfg.get("shiftms", 10),
+        ).astype(np.float32)
+    else:
+        f0 = np.asarray(
+            yin_f0(
+                jnp.asarray(audio16, jnp.float32),
+                sr=16000,
+                hop=int(16000 * cfg.get("shiftms", 10) / 1000),
+                f0_floor=f0min,
+                f0_ceil=f0max,
+            )
         )
-    )
 
     # A-weighted loudness at sample rate (reference loudness_extract)
     lft = np.asarray(

@@ -208,3 +208,23 @@ class FastSVCTrainTask:
             jax.jit(self.gen_step, **kw),
             jax.jit(self.gan_step, **kw),
         )
+
+
+def make_multi_step(step_fn):
+    """Wrap a (state, batch) step into (state, batches) scanning K steps in
+    ONE device program. Batches are stacked on a leading K axis.
+
+    Amortizes host->device dispatch across K steps — on dispatch-latency
+    limited links (remote tunnels; many tiny models per chip) this is the
+    difference between RPC-bound and compute-bound throughput. Metrics are
+    returned per-step (K, ...).
+    """
+
+    def multi_step(state, batches):
+        def body(s, b):
+            s2, m = step_fn(s, b)
+            return s2, m
+
+        return jax.lax.scan(body, state, batches)
+
+    return multi_step

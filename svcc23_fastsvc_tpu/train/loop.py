@@ -56,6 +56,19 @@ class Trainer:
         else:
             self._gen_step, self._gan_step = task.jit_steps(donate=True)
             self._shard = lambda b: b
+        # K steps per device dispatch (lax.scan) — amortizes dispatch latency
+        self.steps_per_call = max(int(config.get("steps_per_call", 1)), 1)
+        if self.steps_per_call > 1 and mesh is None:
+            from .gan import make_multi_step
+
+            self._gen_multi = jax.jit(
+                make_multi_step(task.gen_step), donate_argnums=(0,)
+            )
+            self._gan_multi = jax.jit(
+                make_multi_step(task.gan_step), donate_argnums=(0,)
+            )
+        else:
+            self.steps_per_call = 1
         self._eval_step = jax.jit(lambda s, b: task.eval_step(s, b))
         # metrics stay on device until the log flush so _train_step never
         # blocks on a transfer (keeps async dispatch fully pipelined)
@@ -92,19 +105,48 @@ class Trainer:
 
         step = int(jax.device_get(self.state.step))
         t_last, steps_last = time.time(), step
+
+        def _next_boundary(s):
+            # steps until the next interval/phase boundary
+            cands = [max_steps - s]
+            for iv in (log_iv, eval_iv, save_iv):
+                cands.append(iv - (s % iv))
+            if s <= d_start:
+                cands.append(d_start - s + 1)
+            return max(min(cands), 1)
+
+        profile_dir = cfg.get("profile_dir")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
         try:
             while step < max_steps:
-                batch = self._shard(next(self.train_iter))
                 # reference gates G on generator_train_start_steps and D on
                 # discriminator_train_start_steps (train_fastsvc.py:166,210)
-                if step > d_start:
-                    self.state, metrics = self._gan_step(self.state, batch)
-                elif step > g_start or g_start == 0:
-                    self.state, metrics = self._gen_step(self.state, batch)
-                else:  # warm-up region with neither side training
+                k = min(self.steps_per_call, _next_boundary(step))
+                if k > 1:
+                    import numpy as _np
+
+                    bs = [next(self.train_iter) for _ in range(k)]
+                    batches = jax.tree.map(
+                        lambda *xs: _np.stack(xs), *bs
+                    )
+                    fn = self._gan_multi if step > d_start else self._gen_multi
+                    if step <= d_start and not (step > g_start or g_start == 0):
+                        step += k
+                        continue
+                    self.state, metrics = fn(self.state, batches)
+                    metrics = jax.tree.map(lambda m: m[-1], metrics)
+                    step += k
+                else:
+                    batch = self._shard(next(self.train_iter))
+                    if step > d_start:
+                        self.state, metrics = self._gan_step(self.state, batch)
+                    elif step > g_start or g_start == 0:
+                        self.state, metrics = self._gen_step(self.state, batch)
+                    else:  # warm-up region with neither side training
+                        step += 1
+                        continue
                     step += 1
-                    continue
-                step += 1
                 self._accumulate(metrics)
 
                 if step % log_iv == 0:
@@ -124,6 +166,8 @@ class Trainer:
                 if step % save_iv == 0:
                     self.save(step)
         finally:
+            if profile_dir:
+                jax.profiler.stop_trace()
             # crash-safe save (reference train_fastsvc.py:812-819)
             self.save(step)
         return self.state

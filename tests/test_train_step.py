@@ -94,3 +94,38 @@ def test_eval_step_no_state_change():
     metrics = jax.jit(lambda s, b: task.eval_step(s, b))(state, batch)
     assert np.isfinite(float(metrics["generator_loss"]))
     assert np.isfinite(float(metrics["discriminator_loss"]))
+
+
+def test_trainer_steps_per_call(tmp_path):
+    """Multi-step-per-dispatch path reaches max_steps exactly and saves."""
+    from svcc23_fastsvc_tpu.train.loop import Trainer
+
+    task = tiny_task()
+    state = task.init_state(jax.random.PRNGKey(0))
+
+    class Batches:
+        def __iter__(self):
+            i = 0
+            while True:
+                yield {k: np.asarray(v) for k, v in
+                       tiny_batch(jax.random.PRNGKey(i)).items()}
+                i += 1
+
+    cfg = {
+        "train_max_steps": 10,
+        "discriminator_train_start_steps": 4,
+        "log_interval_steps": 5,
+        "eval_interval_steps": 100,
+        "save_interval_steps": 100,
+        "batch_size": 2,
+        "batch_length": 200,
+        "sampling_rate": 4000,
+        "steps_per_call": 4,
+    }
+    trainer = Trainer(task, state, Batches(), config=cfg,
+                      outdir=str(tmp_path / "exp"))
+    final = trainer.run()
+    assert int(jax.device_get(final.step)) == 10
+    from svcc23_fastsvc_tpu.train.checkpoint import latest_step
+
+    assert latest_step(str(tmp_path / "exp")) == 10
