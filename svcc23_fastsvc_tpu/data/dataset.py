@@ -169,3 +169,49 @@ class USFGANDataset:
         if self.return_utt_id:
             items = (self.utt_ids[idx],) + items
         return items
+
+
+class AudioSCPDataset:
+    """wav.scp-driven audio dataset (reference scp_dataset.py:175-270 without
+    the kaldiio dependency): yields (utt_id,) audio arrays in [-1, 1] and the
+    file's sampling rate."""
+
+    def __init__(self, wav_scp: str, *, return_utt_id: bool = False,
+                 return_sampling_rate: bool = True):
+        from ..bin.common import read_wav_scp
+
+        self.entries = list(read_wav_scp(wav_scp).items())
+        self.return_utt_id = return_utt_id
+        self.return_sampling_rate = return_sampling_rate
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __getitem__(self, idx: int):
+        from ..bin.common import read_wav
+
+        utt_id, path = self.entries[idx]
+        audio, sr = read_wav(path)
+        item = (audio, sr) if self.return_sampling_rate else audio
+        return (utt_id, item) if self.return_utt_id else item
+
+
+class FeatsScpDataset:
+    """feats.scp-driven feature dataset (reference MelSCPDataset,
+    scp_dataset.py:273-345): each entry resolves through HDF5ScpLoader."""
+
+    def __init__(self, feats_scp: str, *, default_hdf5_path: str = "feats",
+                 return_utt_id: bool = False):
+        from .hdf5 import HDF5ScpLoader
+
+        self.loader = HDF5ScpLoader(feats_scp, default_hdf5_path)
+        self.utt_ids = list(self.loader.keys())
+        self.return_utt_id = return_utt_id
+
+    def __len__(self):
+        return len(self.utt_ids)
+
+    def __getitem__(self, idx: int):
+        utt_id = self.utt_ids[idx]
+        feats = self.loader[utt_id]
+        return (utt_id, feats) if self.return_utt_id else feats

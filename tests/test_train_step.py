@@ -129,3 +129,39 @@ def test_trainer_steps_per_call(tmp_path):
     from svcc23_fastsvc_tpu.train.checkpoint import latest_step
 
     assert latest_step(str(tmp_path / "exp")) == 10
+
+
+def test_gan_step_with_hifigan_discriminator():
+    """Alternative discriminator family (README.md:31 change note) trains."""
+    from svcc23_fastsvc_tpu.models.fastsvc import (
+        HiFiGANMultiScaleMultiPeriodDiscriminator,
+    )
+    from svcc23_fastsvc_tpu.train import FastSVCTrainTask, make_optimizer
+    from svcc23_fastsvc_tpu.losses import MultiResolutionSTFTLoss
+    from svcc23_fastsvc_tpu.ops.signal_gen import SignalGenerator
+    from svcc23_fastsvc_tpu.models.fastsvc import FastSVCGenerator
+
+    gen = FastSVCGenerator(
+        in_channels=8, mid_channels=(16, 8), upsampling_scales=(4, 5),
+        spk_emb_size=12, use_spk_emb=True,
+    )
+    dis = HiFiGANMultiScaleMultiPeriodDiscriminator(
+        scales=2, periods=(2, 3),
+        scale_params={"channels": 16, "max_downsample_channels": 32,
+                      "max_groups": 4, "downsample_scales": [2, 2]},
+        period_params={"channels": 4, "max_downsample_channels": 16,
+                       "downsample_scales": [3, 1]},
+    )
+    task = FastSVCTrainTask(
+        generator=gen, discriminator=dis,
+        g_tx=make_optimizer(lr=1e-3, grad_norm=10.0),
+        d_tx=make_optimizer(lr=1e-3, grad_norm=1.0),
+        signal_generator=SignalGenerator(sample_rate=4000, hop_size=20,
+                                         noise_amp=0.0),
+        stft_loss=MultiResolutionSTFTLoss((64,), (16,), (64,)),
+    )
+    state = task.init_state(jax.random.PRNGKey(0))
+    _, gan_step = task.jit_steps(donate=False)
+    state, m = gan_step(state, tiny_batch(jax.random.PRNGKey(1)))
+    for k in ("adversarial_loss", "real_loss", "fake_loss"):
+        assert np.isfinite(float(m[k])), k
