@@ -34,6 +34,7 @@ class SignalGenerator:
     sine_amp: float = 0.1
     noise_amp: float = 0.003
     signal_types: tuple = ("sine",)
+    use_pallas: bool = False  # fused single-pass kernel (ops.pallas_kernels)
 
     def __post_init__(self):
         for t in self.signal_types:
@@ -61,10 +62,18 @@ class SignalGenerator:
     def sinusoid(self, f0, key):
         B, T, _ = f0.shape
         vuv = nearest_upsample((f0 > 0).astype(f0.dtype), self.hop_size)
-        f0_up = nearest_upsample(f0, self.hop_size)
-        radious = (f0_up / self.sample_rate) % 1.0
-        phase = jnp.cumsum(radious, axis=1) * (2.0 * math.pi)
-        sine = vuv * jnp.sin(phase) * self.sine_amp
+        if self.use_pallas:
+            from .pallas_kernels import sine_excitation
+
+            sine = sine_excitation(
+                f0[:, :, 0], hop=self.hop_size, sr=self.sample_rate,
+                amp=self.sine_amp,
+            )[:, :, None]
+        else:
+            f0_up = nearest_upsample(f0, self.hop_size)
+            radious = (f0_up / self.sample_rate) % 1.0
+            phase = jnp.cumsum(radious, axis=1) * (2.0 * math.pi)
+            sine = vuv * jnp.sin(phase) * self.sine_amp
         if self.noise_amp > 0:
             namp = vuv * self.noise_amp + (1.0 - vuv) * (self.noise_amp / 3.0)
             noise = jax.random.normal(key, sine.shape, sine.dtype) * namp

@@ -160,3 +160,29 @@ def test_signal_generator_types_and_shapes():
     assert out.shape == (2, 1600, 3)
     # uv channel is exactly 1 where voiced
     np.testing.assert_array_equal(np.asarray(out[..., 2]), np.ones((2, 1600)))
+
+
+def test_pallas_sine_excitation_matches_reference_formula():
+    """Fused Pallas kernel (interpret mode on CPU) == SignalGenerator math."""
+    from svcc23_fastsvc_tpu.ops.pallas_kernels import sine_excitation
+
+    B, Tf, hop, fs = 3, 100, 160, 16000
+    rng = np.random.default_rng(7)
+    f0 = np.where(
+        rng.random((B, Tf)) > 0.3, rng.uniform(80, 300, (B, Tf)), 0.0
+    ).astype(np.float32)
+    got = np.asarray(
+        sine_excitation(jnp.asarray(f0), hop=hop, sr=fs, amp=0.1, interpret=True)
+    )
+    gen = SignalGenerator(sample_rate=fs, hop_size=hop, sine_amp=0.1, noise_amp=0.0)
+    want = np.asarray(gen.sinusoid(jnp.asarray(f0)[:, :, None], jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(got, want[:, :, 0], atol=2e-4)
+    # non-divisible frame counts exercise the padding path
+    got2 = np.asarray(
+        sine_excitation(jnp.asarray(f0[:, :77]), hop=hop, sr=fs, amp=0.1,
+                        interpret=True)
+    )
+    want2 = np.asarray(
+        gen.sinusoid(jnp.asarray(f0[:, :77, None]), jax.random.PRNGKey(0))
+    )
+    np.testing.assert_allclose(got2, want2[:, :, 0], atol=2e-4)
