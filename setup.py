@@ -43,6 +43,8 @@ setup(
             "svc-tpu-decode-fastsvc=svcc23_fastsvc_tpu.bin.decode_fastsvc:main",
             "svc-tpu-decode-b02=svcc23_fastsvc_tpu.bin.decode_b02:main",
             "svc-tpu-synthesize-b02=svcc23_fastsvc_tpu.bin.synthesize_b02:main",
+            "svc-tpu-convert-checkpoint=svcc23_fastsvc_tpu.bin.convert_checkpoint:main",
+            "svc-tpu-evaluate=svcc23_fastsvc_tpu.bin.evaluate:main",
         ],
     },
 )
