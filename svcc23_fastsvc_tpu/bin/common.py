@@ -22,9 +22,12 @@ def setup_logging(verbose: int = 1):
     level = logging.WARNING if verbose <= 0 else (
         logging.INFO if verbose == 1 else logging.DEBUG
     )
+    # force=True: jax/absl may have installed a root handler already, which
+    # would silently turn basicConfig into a no-op and suppress INFO logs
     logging.basicConfig(
         level=level,
         format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
+        force=True,
     )
     honor_jax_platforms_env()
 

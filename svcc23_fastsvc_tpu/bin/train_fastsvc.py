@@ -44,15 +44,27 @@ def main(argv=None):
     state = task.init_state(jax.random.PRNGKey(args.seed))
 
     train_ds = FastSVCDataset(args.train_dumpdir)
-    train_batcher = FastSVCBatcher(
-        train_ds,
-        batch_size=cfg["batch_size"],
-        batch_length=cfg["batch_length"],
-        hop_size=cfg["hop_size"],
-        aux_context_window=cfg.get("aux_context_window", 0),
-        use_spk_emb=cfg.get("generator_params", {}).get("use_spk_emb", True),
-        seed=args.seed,
-    )
+
+    def make_batcher(seed):
+        return FastSVCBatcher(
+            train_ds,
+            batch_size=cfg["batch_size"],
+            batch_length=cfg["batch_length"],
+            hop_size=cfg["hop_size"],
+            aux_context_window=cfg.get("aux_context_window", 0),
+            use_spk_emb=cfg.get("generator_params", {}).get("use_spk_emb", True),
+            seed=seed,
+        )
+
+    n_loader_threads = int(cfg.get("loader_threads", 1))
+    if n_loader_threads > 1:
+        from ..data.prefetch import BatcherPool
+
+        train_batcher = BatcherPool(
+            make_batcher, n_threads=n_loader_threads, seed=args.seed
+        )
+    else:
+        train_batcher = make_batcher(args.seed)
     dev_batcher = None
     if args.dev_dumpdir:
         dev_ds = FastSVCDataset(args.dev_dumpdir)

@@ -56,6 +56,43 @@ class FastSVCBatcher:
                 logging.warning("utterance %d shorter than batch window; dropped", i)
         if not self.valid_idx:
             raise ValueError("no utterance long enough for the batch window")
+        self._packed = None  # lazy vectorized store (see _pack)
+
+    def _pack(self):
+        """Stack all valid utterances into padded contiguous arrays so a
+        whole batch of random crops is four fancy-indexing gathers instead
+        of a Python loop (the host loop was the training bottleneck once
+        the device step dropped under 1 ms)."""
+        items = []
+        for idx in self.valid_idx:
+            item = self.dataset[idx]
+            if getattr(self.dataset, "return_utt_id", False):
+                item = item[1:]
+            items.append(item)
+        n = len(items)
+        max_frames = max(len(it[2]) for it in items)
+        L = max_frames * self.hop_size
+        ppg_dim = items[0][2].shape[-1]
+        emb_dim = np.asarray(items[0][4]).reshape(-1).shape[0] if self.use_spk_emb else 0
+        packed = {
+            "audio": np.zeros((n, L), np.float32),
+            "f0": np.zeros((n, max_frames), np.float32),
+            "ppg": np.zeros((n, max_frames, ppg_dim), np.float32),
+            "lft": np.zeros((n, L), np.float32),
+            "n_frames": np.zeros((n,), np.int64),
+        }
+        if self.use_spk_emb:
+            packed["spk_emb"] = np.zeros((n, emb_dim), np.float32)
+        for i, (audio, f0, ppg, lft, emb) in enumerate(items):
+            nf = len(ppg)
+            packed["audio"][i, : nf * self.hop_size] = np.asarray(audio).reshape(-1)[: nf * self.hop_size]
+            packed["f0"][i, :nf] = np.asarray(f0).reshape(-1)[:nf]
+            packed["ppg"][i, :nf] = ppg[:nf]
+            packed["lft"][i, : nf * self.hop_size] = np.asarray(lft).reshape(-1)[: nf * self.hop_size]
+            packed["n_frames"][i] = nf
+            if self.use_spk_emb:
+                packed["spk_emb"][i] = np.asarray(emb, np.float32).reshape(-1)
+        self._packed = packed
 
     def _ppg_len(self, idx: int) -> int:
         item = self.dataset[idx]
@@ -63,6 +100,38 @@ class FastSVCBatcher:
         return len(ppg)
 
     def sample_batch(self) -> Dict[str, np.ndarray]:
+        if self.acw == 0:
+            return self._sample_batch_vectorized()
+        return self._sample_batch_loop()
+
+    def _sample_batch_vectorized(self) -> Dict[str, np.ndarray]:
+        if self._packed is None:
+            self._pack()
+        p = self._packed
+        B, F, L = self.batch_size, self.batch_frames, self.batch_length
+        rows = self.rng.integers(0, p["audio"].shape[0], size=B)
+        max_start = p["n_frames"][rows] - F
+        start = (self.rng.random(B) * (max_start - self.acw)).astype(np.int64) + self.acw
+        s0 = start * self.hop_size
+        # contiguous slice copies (memcpy) beat 2-D fancy-index gathers ~10x
+        ppg_dim = p["ppg"].shape[-1]
+        out = {
+            "audio": np.empty((B, L, 1), np.float32),
+            "f0": np.empty((B, F, 1), np.float32),
+            "ppg": np.empty((B, F, ppg_dim), np.float32),
+            "lft": np.empty((B, L, 1), np.float32),
+        }
+        for i in range(B):
+            r, f0s, a0 = rows[i], start[i], s0[i]
+            out["audio"][i, :, 0] = p["audio"][r, a0 : a0 + L]
+            out["f0"][i, :, 0] = p["f0"][r, f0s : f0s + F]
+            out["ppg"][i] = p["ppg"][r, f0s : f0s + F]
+            out["lft"][i, :, 0] = p["lft"][r, a0 : a0 + L]
+        if self.use_spk_emb:
+            out["spk_emb"] = p["spk_emb"][rows]
+        return out
+
+    def _sample_batch_loop(self) -> Dict[str, np.ndarray]:
         B, F, L = self.batch_size, self.batch_frames, self.batch_length
         picks = self.rng.choice(self.valid_idx, size=B, replace=True)
         out = {

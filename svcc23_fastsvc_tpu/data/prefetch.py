@@ -43,3 +43,34 @@ class PrefetchIterator:
                 raise self._err
             raise StopIteration
         return item
+
+
+class BatcherPool:
+    """N producer threads, each draining its own seeded batcher into one
+    queue. numpy slice copies release the GIL, so producers scale until
+    memory bandwidth; batch order is the queue interleaving (per-thread
+    streams stay seeded/reproducible, the interleave is not — training
+    batches are i.i.d. crops, so order carries no semantics).
+    """
+
+    def __init__(self, make_batcher, *, n_threads: int = 3, depth: int = 8,
+                 seed: int = 0):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._threads = []
+        for t in range(n_threads):
+            batcher = make_batcher(seed + 7919 * t)
+            th = threading.Thread(
+                target=self._fill, args=(batcher,), daemon=True
+            )
+            th.start()
+            self._threads.append(th)
+
+    def _fill(self, batcher):
+        for item in batcher:
+            self._q.put(item)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._q.get()
