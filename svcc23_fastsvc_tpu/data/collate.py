@@ -107,11 +107,21 @@ class FastSVCBatcher:
     def _sample_batch_vectorized(self) -> Dict[str, np.ndarray]:
         if self._packed is None:
             self._pack()
+            from .native_batch import native_batch_available
+
+            self._use_native = native_batch_available()
         p = self._packed
         B, F, L = self.batch_size, self.batch_frames, self.batch_length
         rows = self.rng.integers(0, p["audio"].shape[0], size=B)
         max_start = p["n_frames"][rows] - F
         start = (self.rng.random(B) * (max_start - self.acw)).astype(np.int64) + self.acw
+        if self._use_native:
+            from .native_batch import assemble_batch
+
+            out = assemble_batch(p, rows, start, F, self.hop_size)
+            if self.use_spk_emb:
+                out["spk_emb"] = p["spk_emb"][rows]
+            return out
         s0 = start * self.hop_size
         # contiguous slice copies (memcpy) beat 2-D fancy-index gathers ~10x
         ppg_dim = p["ppg"].shape[-1]

@@ -103,3 +103,22 @@ def test_validate_length():
     x0, x1, y0, y1 = validate_length(xs, ys, HOP)
     assert len(x0) == len(x1) == 10
     assert len(y0) == len(y1) == 10 * HOP
+
+
+def test_native_batch_assembler_matches_python(tmp_path):
+    from svcc23_fastsvc_tpu.data.native_batch import native_batch_available
+
+    if not native_batch_available():
+        pytest.skip("libbatch.so not buildable here")
+    make_dump(tmp_path)
+    ds = FastSVCDataset(str(tmp_path))
+    a = FastSVCBatcher(ds, batch_size=4, batch_length=16 * HOP, hop_size=HOP, seed=3)
+    batch_native = a.sample_batch()
+    assert a._use_native
+
+    b = FastSVCBatcher(ds, batch_size=4, batch_length=16 * HOP, hop_size=HOP, seed=3)
+    b._pack()
+    b._use_native = False
+    batch_py = b.sample_batch()
+    for k in batch_native:
+        np.testing.assert_array_equal(batch_native[k], batch_py[k])
