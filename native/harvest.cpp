@@ -308,6 +308,48 @@ int harvest_f0(const double* x_in, long length, double fs, double f0_floor,
     }
   }
 
+  // refinement: phase-based instantaneous frequency. Two identically
+  // windowed DFT probes at the candidate frequency, one period apart; the
+  // demodulated phase advance measures (f_true - f) directly:
+  //   Δφ = 2π (f_true − f) τ / fs  →  f_true = f + Δφ·fs/(2πτ).
+  // Short (2-period) windows keep the estimate local, so vibrato-rate
+  // modulation is tracked rather than smoothed.
+  for (long i = 0; i < n_frames; ++i) {
+    const double f = f0[size_t(i)];
+    if (f <= 0) continue;
+    const long center = i * hop;
+    const long halfw = lround(1.0 * fs / f);  // 2-period window
+    const long tau = lround(fs / f);          // one-period probe spacing
+
+    auto probe = [&](long c, double& re, double& im) {
+      re = 0;
+      im = 0;
+      const long s0 = c - halfw, s1 = c + halfw;
+      for (long j = s0; j <= s1; ++j) {
+        if (j < 0 || j >= length) continue;
+        const double wpos = double(j - s0) / double(s1 - s0);
+        const double w = nuttall(wpos);
+        const double ang = 2 * kPi * f * double(j) / fs;
+        re += x[size_t(j)] * w * std::cos(ang);
+        im -= x[size_t(j)] * w * std::sin(ang);
+      }
+    };
+
+    double re1, im1, re2, im2;
+    probe(center, re1, im1);
+    probe(center + tau, re2, im2);
+    const double m1 = re1 * re1 + im1 * im1;
+    const double m2 = re2 * re2 + im2 * im2;
+    if (m1 < 1e-18 || m2 < 1e-18) continue;
+    // Δφ of probe2 relative to probe1 with the carrier removed
+    double dphi = std::atan2(im2, re2) - std::atan2(im1, re1);
+    while (dphi > kPi) dphi -= 2 * kPi;
+    while (dphi < -kPi) dphi += 2 * kPi;
+    const double df = dphi * fs / (2 * kPi * double(tau));
+    // accept only small corrections (the probe aliases past ±f/2)
+    if (std::fabs(df) < 0.2 * f) f0[size_t(i)] = f + df;
+  }
+
   std::memcpy(f0_out, f0.data(), sizeof(double) * size_t(n_frames));
   return 0;
 }

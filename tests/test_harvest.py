@@ -24,7 +24,7 @@ def test_constant_pitch_accuracy(f0):
     mid = est[5:-5]
     assert (mid > 0).all()
     err = 1200 * np.abs(np.log2(mid / f0))
-    assert np.median(err) < 30, f"median {np.median(err)} cents"
+    assert np.median(err) < 10, f"median {np.median(err)} cents"
 
 
 def test_noise_and_silence_unvoiced():
@@ -50,4 +50,4 @@ def test_glide_tracks():
     sel = (est > 0) & (frames > 0.1) & (frames < 0.9)
     assert sel.mean() > 0.6
     err = 1200 * np.abs(np.log2(est[sel] / want[sel]))
-    assert np.median(err) < 60
+    assert np.median(err) < 30
