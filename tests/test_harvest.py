@@ -19,12 +19,25 @@ def harmonic(f0, dur=1.0, vibrato=0.02):
 
 
 @pytest.mark.parametrize("f0", [110.0, 220.0, 330.0])
-def test_constant_pitch_accuracy(f0):
+def test_vibrato_tracking_accuracy(f0):
+    """Error measured against the INSTANTANEOUS contour — the refinement
+    stage tracks vibrato instead of smoothing it."""
     est = harvest_f0(harmonic(f0), fs=SR, f0_floor=70, f0_ceil=500)
+    frames_t = np.arange(len(est)) * 160 / SR
+    inst = f0 * (1 + 0.02 * np.sin(2 * np.pi * 5 * frames_t))
+    mid = slice(5, -5)
+    assert (est[mid] > 0).all()
+    err = 1200 * np.abs(np.log2(est[mid] / inst[mid]))
+    assert np.median(err) < 10, f"median {np.median(err)} cents"
+
+
+@pytest.mark.parametrize("f0", [110.0, 330.0])
+def test_constant_pitch_accuracy(f0):
+    est = harvest_f0(harmonic(f0, vibrato=0.0), fs=SR, f0_floor=70, f0_ceil=500)
     mid = est[5:-5]
     assert (mid > 0).all()
     err = 1200 * np.abs(np.log2(mid / f0))
-    assert np.median(err) < 10, f"median {np.median(err)} cents"
+    assert np.median(err) < 5, f"median {np.median(err)} cents"
 
 
 def test_noise_and_silence_unvoiced():
