@@ -52,3 +52,46 @@ def test_global_batch_single_process():
     g = global_batch(local, mesh)
     assert g["x"].shape == (8, 4)
     np.testing.assert_array_equal(np.asarray(g["x"]), local["x"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_gan_step_matches_single_device():
+    """Full GAN phase (G+D updates) under DP == single device."""
+    from test_train_step import tiny_batch, tiny_task
+
+    task = tiny_task()
+    batch = tiny_batch(jax.random.PRNGKey(1), B=8)
+
+    s_single, m_single = jax.jit(task.gan_step)(
+        task.init_state(jax.random.PRNGKey(0)), batch
+    )
+
+    mesh = make_mesh(8)
+    state_r = replicate(task.init_state(jax.random.PRNGKey(0)), mesh)
+    step = jit_train_step_dp(task.gan_step, mesh, donate=False)
+    s_dp, m_dp = step(state_r, shard_batch(batch, mesh))
+
+    for k in ("generator_loss", "discriminator_loss"):
+        np.testing.assert_allclose(
+            float(m_dp[k]), float(m_single[k]), rtol=1e-4, err_msg=k
+        )
+    for a, b in zip(jax.tree.leaves(s_single.d_params),
+                    jax.tree.leaves(s_dp.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_b02_dp_step_runs_on_mesh():
+    """B02 acoustic-model training step jits and runs over the 8-dev mesh."""
+    from test_b02_train import tiny_batch as b02_batch, tiny_task as b02_task
+
+    task = b02_task()
+    mesh = make_mesh(8)
+    state = replicate(task.init_state(jax.random.PRNGKey(0)), mesh)
+    batch = b02_batch(jax.random.PRNGKey(1), B=8)
+    batch["lengths"] = jnp.full((8,), 20, jnp.int32)
+    step = jit_train_step_dp(task.gen_step, mesh, donate=False)
+    state, metrics = step(state, shard_batch(batch, mesh))
+    assert np.isfinite(float(metrics["mse_loss"]))
+    assert int(jax.device_get(state.step)) == 1
