@@ -48,6 +48,7 @@ def decode(
     convert_to_speakers=None,
     config_path: str = None,
     pad_multiple: int = 100,
+    batch_size: int = 16,
 ):
     cfg_path = config_path or os.path.join(checkpoint_dir, "config.yml")
     cfg = load_config(cfg_path)
@@ -76,40 +77,54 @@ def decode(
     os.makedirs(outdir, exist_ok=True)
     total_audio_s, total_wall = 0.0, 0.0
     for trgspk in speakers:
-        trg_emb = np.asarray(read_hdf5(spk_emb_file, trgspk), np.float32).reshape(1, -1)
+        trg_emb = np.asarray(read_hdf5(spk_emb_file, trgspk), np.float32).reshape(-1)
         trg_stats = load_f0_stats(os.path.join(f0_stats_dir, f"{trgspk}.yml"))
         trg_stats[1] = 1.0  # mean-only shift (reference :165)
+
+        # bucket utterances by padded frame count, then synthesize each
+        # bucket as one batched jitted call (BASELINE "batched inference")
+        buckets: dict = {}
         for i in range(len(ds)):
             utt_id, _, f0, ppg, lft, _ = ds[i]
-            src_stats = load_f0_stats(
-                os.path.join(f0_stats_dir, f"{utt_speaker(utt_id)}.yml")
-            )
-            src_stats[1] = 1.0
-            cv_f0 = stats.convert(np.asarray(f0).squeeze(), src_stats, trg_stats)
-
-            # pad frames to a bucket size for stable jit shapes
             Tf = len(ppg)
             Tp = ((Tf + pad_multiple - 1) // pad_multiple) * pad_multiple
-            ppg_p = np.zeros((1, Tp, ppg.shape[-1]), np.float32)
-            ppg_p[0, :Tf] = ppg
-            f0_p = np.zeros((1, Tp, 1), np.float32)
-            f0_p[0, :Tf, 0] = cv_f0
-            lft_p = np.zeros((1, Tp * hop, 1), np.float32)
-            lft_p[0, : Tf * hop, 0] = np.asarray(lft).squeeze()[: Tf * hop]
+            buckets.setdefault(Tp, []).append((utt_id, f0, ppg, lft, Tf))
 
-            t0 = time.time()
-            sine = sig_gen(jnp.asarray(f0_p), jax.random.PRNGKey(i))
-            y = fwd(
-                params, jnp.asarray(ppg_p), sine, jnp.asarray(lft_p),
-                jnp.asarray(trg_emb),
-            )
-            y = np.asarray(y)[0, : Tf * hop, 0]
-            wall = time.time() - t0
-            total_wall += wall
-            total_audio_s += len(y) / sr
-            write_wav(
-                os.path.join(outdir, f"{utt_id}_to_{trgspk}.wav"), y, sr
-            )
+        for Tp, items in sorted(buckets.items()):
+            for chunk_start in range(0, len(items), batch_size):
+                chunk = items[chunk_start : chunk_start + batch_size]
+                Bc = len(chunk)
+                D = chunk[0][2].shape[-1]
+                ppg_p = np.zeros((Bc, Tp, D), np.float32)
+                f0_p = np.zeros((Bc, Tp, 1), np.float32)
+                lft_p = np.zeros((Bc, Tp * hop, 1), np.float32)
+                for bi, (utt_id, f0, ppg, lft, Tf) in enumerate(chunk):
+                    src_stats = load_f0_stats(
+                        os.path.join(f0_stats_dir, f"{utt_speaker(utt_id)}.yml")
+                    )
+                    src_stats[1] = 1.0
+                    cv_f0 = stats.convert(
+                        np.asarray(f0).squeeze(), src_stats, trg_stats
+                    )
+                    ppg_p[bi, :Tf] = ppg
+                    f0_p[bi, :Tf, 0] = cv_f0
+                    lft_p[bi, : Tf * hop, 0] = np.asarray(lft).squeeze()[: Tf * hop]
+                emb_p = np.broadcast_to(trg_emb, (Bc, trg_emb.shape[0]))
+
+                t0 = time.time()
+                sine = sig_gen(jnp.asarray(f0_p), jax.random.PRNGKey(chunk_start))
+                y = np.asarray(
+                    fwd(params, jnp.asarray(ppg_p), sine, jnp.asarray(lft_p),
+                        jnp.asarray(emb_p))
+                )
+                wall = time.time() - t0
+                total_wall += wall
+                for bi, (utt_id, _, _, _, Tf) in enumerate(chunk):
+                    out = y[bi, : Tf * hop, 0]
+                    total_audio_s += len(out) / sr
+                    write_wav(
+                        os.path.join(outdir, f"{utt_id}_to_{trgspk}.wav"), out, sr
+                    )
     rtf = total_wall / max(total_audio_s, 1e-9)
     logging.info(
         "decoded %.1f audio-s in %.2f s (RTF %.4f, %.0f audio-s/s)",
