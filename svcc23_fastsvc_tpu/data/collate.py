@@ -57,6 +57,7 @@ class FastSVCBatcher:
         if not self.valid_idx:
             raise ValueError("no utterance long enough for the batch window")
         self._packed = None  # lazy vectorized store (see _pack)
+        self._use_native = False
 
     def _pack(self):
         """Stack all valid utterances into padded contiguous arrays so a
@@ -93,6 +94,9 @@ class FastSVCBatcher:
             if self.use_spk_emb:
                 packed["spk_emb"][i] = np.asarray(emb, np.float32).reshape(-1)
         self._packed = packed
+        from .native_batch import native_batch_available
+
+        self._use_native = native_batch_available()
 
     def _ppg_len(self, idx: int) -> int:
         item = self.dataset[idx]
@@ -107,9 +111,6 @@ class FastSVCBatcher:
     def _sample_batch_vectorized(self) -> Dict[str, np.ndarray]:
         if self._packed is None:
             self._pack()
-            from .native_batch import native_batch_available
-
-            self._use_native = native_batch_available()
         p = self._packed
         B, F, L = self.batch_size, self.batch_frames, self.batch_length
         rows = self.rng.integers(0, p["audio"].shape[0], size=B)
