@@ -16,7 +16,10 @@ import jax
 import jax.numpy as jnp
 
 
-def build_task():
+def build_task(sr: int = 24000):
+    """BASELINE.json metric is at 24 kHz: the paper's [5,4,4,2] generator
+    (hop 160 at 24 kHz). sr=16000 gives the conf/fastsvc.yaml [2,4,4,5]
+    recipe config instead."""
     from svcc23_fastsvc_tpu.losses import MultiResolutionSTFTLoss
     from svcc23_fastsvc_tpu.models.fastsvc import (
         FastSVCGenerator,
@@ -25,7 +28,8 @@ def build_task():
     from svcc23_fastsvc_tpu.ops.signal_gen import SignalGenerator
     from svcc23_fastsvc_tpu.train import FastSVCTrainTask, make_optimizer
 
-    generator = FastSVCGenerator()  # conf/fastsvc.yaml:23-30
+    scales = (5, 4, 4, 2) if sr == 24000 else (2, 4, 4, 5)
+    generator = FastSVCGenerator(upsampling_scales=scales)
     discriminator = MelGANMultiScaleDiscriminator(  # conf/fastsvc.yaml:35-52
         scales=3, channels=16, max_downsample_channels=512,
         downsample_scales=(4, 4, 4),
@@ -35,7 +39,7 @@ def build_task():
         discriminator=discriminator,
         g_tx=make_optimizer(lr=1e-3, grad_norm=10.0),
         d_tx=make_optimizer(lr=1e-3, grad_norm=1.0),
-        signal_generator=SignalGenerator(sample_rate=16000, hop_size=160),
+        signal_generator=SignalGenerator(sample_rate=sr, hop_size=160),
     )
 
 
@@ -63,11 +67,13 @@ def time_fn(fn, *args, iters=10, state_arg=None):
 
 
 def main():
-    # Reference training config: batch 32 x 1 s @ 16 kHz (conf/fastsvc.yaml:71-72)
-    B, Tf, hop, sr = 32, 100, 160, 16000
+    # Reference training shape: batch 32 x 1 s (conf/fastsvc.yaml:71-72),
+    # evaluated at 24 kHz per the BASELINE metric (150 frames x hop 160).
+    B, sr, hop = 32, 24000, 160
+    Tf = sr // hop
     audio_s_per_batch = B * Tf * hop / sr
 
-    task = build_task()
+    task = build_task(sr)
     state = task.init_state(jax.random.PRNGKey(0))
     batch = make_batch(jax.random.PRNGKey(1), B, Tf, hop)
 
@@ -119,7 +125,7 @@ def main():
     from svcc23_fastsvc_tpu.ops import fold_weight_norm
 
     g_inf = fold_weight_norm(state.g_params)
-    sb, sTf = 64, 100
+    sb, sTf = 64, Tf
     sbatch = make_batch(jax.random.PRNGKey(2), sb, sTf, hop)
     sine = task.signal_generator(sbatch["f0"], jax.random.PRNGKey(3))
 
@@ -134,7 +140,7 @@ def main():
     syn_tput = (sb * sTf * hop / sr) / syn_t
 
     result = {
-        "metric": "fastsvc_gan_train_audio_seconds_per_s_per_chip",
+        "metric": "fastsvc_gan_train_audio_seconds_per_s_per_chip_24khz",
         "value": round(train_tput, 1),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(train_tput / 110.0, 2),
