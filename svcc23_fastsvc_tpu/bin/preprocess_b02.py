@@ -126,6 +126,9 @@ def main(argv=None):
     parser.add_argument("--linguistic", default="logmel",
                         choices=["logmel", "hubert"])
     parser.add_argument("--hubert-checkpoint", default=None)
+    parser.add_argument("--n-shards", type=int, default=1,
+                        help="split the scp across N processes")
+    parser.add_argument("--shard-id", type=int, default=0)
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args(argv)
     setup_logging(args.verbose)
@@ -146,7 +149,10 @@ def main(argv=None):
 
     os.makedirs(args.dumpdir, exist_ok=True)
     n = 0
-    for utt_id, audio, sr in iter_wav_scp(args.wav_scp):
+    for idx, (utt_id, audio, sr) in enumerate(iter_wav_scp(args.wav_scp)):
+        # scp sharding replaces the reference's split_scp.pl job arrays
+        if idx % args.n_shards != args.shard_id:
+            continue
         spk = utt_speaker(utt_id)
         rng = f0_ranges.get(spk, {})
         feats = extract_b02_features(

@@ -138,6 +138,9 @@ def main():
     parser.add_argument("--linguistic", default="logmel",
                         choices=["logmel", "conformer"])
     parser.add_argument("--ppg-checkpoint", default=None)
+    parser.add_argument("--n-shards", type=int, default=1,
+                        help="split the scp across N processes")
+    parser.add_argument("--shard-id", type=int, default=0)
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
     setup_logging(args.verbose)
@@ -158,7 +161,10 @@ def main():
 
     os.makedirs(args.dumpdir, exist_ok=True)
     n = 0
-    for utt_id, audio, sr in iter_wav_scp(args.wav_scp):
+    for idx, (utt_id, audio, sr) in enumerate(iter_wav_scp(args.wav_scp)):
+        # scp sharding replaces the reference's split_scp.pl job arrays
+        if idx % args.n_shards != args.shard_id:
+            continue
         spk = utt_speaker(utt_id)
         rng = f0_ranges.get(spk, {})
         feats = extract_features(
