@@ -13,18 +13,15 @@ from __future__ import annotations
 
 import argparse
 import logging
-import os
 
 import jax
 
 from ..compat import (
     convert_fastsvc_generator,
     convert_hifigan_msd_mpd,
-    convert_hnusfgan,
     convert_melgan_msd,
-    convert_tacotron2,
 )
-from ..config import build_train_task, dump_config, load_config
+from ..config import build_train_task, load_config
 from ..train.checkpoint import save_checkpoint
 from .common import setup_logging
 

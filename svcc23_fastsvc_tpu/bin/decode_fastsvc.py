@@ -28,7 +28,7 @@ from ..data.dataset import FastSVCDataset
 from ..data.hdf5 import read_hdf5
 from ..dsp.f0 import F0Statistics
 from ..ops import fold_weight_norm
-from ..train.checkpoint import load_checkpoint, latest_step
+from ..train.checkpoint import load_checkpoint
 from .common import setup_logging, utt_speaker, write_wav
 
 

@@ -9,11 +9,10 @@ from __future__ import annotations
 import argparse
 import logging
 import os
-import shutil
 
 import numpy as np
 
-from ..data.dataset import FastSVCDataset, find_files
+from ..data.dataset import find_files
 from ..data.hdf5 import read_hdf5, write_hdf5
 from ..utils.scalers import load_scaler
 from .common import setup_logging

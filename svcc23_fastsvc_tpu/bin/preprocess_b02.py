@@ -15,16 +15,15 @@ import os
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from ..config import load_config
 from ..data.hdf5 import read_hdf5, write_hdf5
 from ..data.dataset import validate_length
 from ..dsp.f0 import yin_f0
-from ..dsp.world import mcepalpha, world_analyze
+from ..dsp.world import world_analyze
 from ..ops.resample import nearest_resize
-from ..ops.stft import loudness_extract, mel_filterbank, stft_magnitude
+from ..ops.stft import stft_magnitude
 from .common import iter_wav_scp, resample, setup_logging, utt_speaker
 from .preprocess_fastsvc import logmel_extract
 

@@ -22,7 +22,6 @@ import os
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from ..config import load_config

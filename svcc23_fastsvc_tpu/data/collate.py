@@ -14,7 +14,7 @@ Crops are driven by a seeded numpy Generator, so a run is reproducible and
 from __future__ import annotations
 
 import logging
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

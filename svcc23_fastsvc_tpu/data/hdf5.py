@@ -9,7 +9,6 @@ and scp files whose entries may carry dataset paths as
 
 from __future__ import annotations
 
-import logging
 import os
 
 import h5py

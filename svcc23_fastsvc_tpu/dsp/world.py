@@ -33,8 +33,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.stft import frame_signal
-
 
 # ---------------------------------------------------------------------------
 # helpers

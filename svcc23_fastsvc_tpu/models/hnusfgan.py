@@ -29,7 +29,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from ..ops.conv import conv1d, conv2d, conv_weight, conv1d_init, wn_init
+from ..ops.conv import conv1d, conv_weight, conv1d_init, wn_init
 from ..ops.resample import nearest_upsample
 
 

@@ -31,9 +31,6 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Optional, Sequence
-
-import numpy as np
 import jax
 import jax.numpy as jnp
 

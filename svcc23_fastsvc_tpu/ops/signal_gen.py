@@ -13,7 +13,7 @@ lowers efficiently; 1 s × 16 kHz windows keep accumulated error negligible).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

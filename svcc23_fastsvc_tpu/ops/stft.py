@@ -16,10 +16,8 @@ frame axis.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from .resample import nearest_upsample

@@ -14,8 +14,7 @@ per-host data feeding (jax.make_array_from_process_local_data).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -11,9 +11,8 @@ dumped alongside as config.yml — the serialized contract decode reads back.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 import yaml
 

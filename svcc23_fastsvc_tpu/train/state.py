@@ -11,7 +11,7 @@ rectification threshold.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.struct
 import jax

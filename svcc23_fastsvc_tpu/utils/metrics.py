@@ -9,7 +9,6 @@ waveforms, jittable and batched.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..ops.stft import mel_filterbank, stft_magnitude
