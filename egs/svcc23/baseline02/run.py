@@ -23,7 +23,9 @@ sys.path.insert(0, REPO)
 def sh(mod, *args):
     cmd = [sys.executable, "-m", f"svcc23_fastsvc_tpu.bin.{mod}", *map(str, args)]
     print("+", " ".join(cmd), flush=True)
-    subprocess.run(cmd, check=True)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    subprocess.run(cmd, check=True, env=env)
 
 
 def main():
