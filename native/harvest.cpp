@@ -24,6 +24,7 @@
 #include <complex>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -178,11 +179,20 @@ int harvest_f0(const double* x_in, long length, double fs, double f0_floor,
   std::vector<std::vector<Cand>> cands{};
   cands.resize(uframes);
 
-  std::vector<std::complex<double>> Y(nfft);
-  std::vector<double> y(ulen);
-  std::vector<double> est[4];
+  // band analysis is embarrassingly parallel: each band filters the
+  // spectrum and extracts event contours independently; candidates are
+  // written to per-band slots and merged after the join.
+  const size_t n_bands = bands.size();
+  std::vector<std::vector<std::vector<Cand>>> band_cands(n_bands);
+  unsigned hw = std::thread::hardware_concurrency();
+  const int n_threads = hw ? int(hw > 4 ? 4 : hw) : 1;
 
-  for (double bf : bands) {
+  auto analyze_band = [&](size_t bi) {
+    const double bf = bands[bi];
+    std::vector<std::complex<double>> Y(nfft);
+    std::vector<double> y(ulen);
+    std::vector<double> est[4];
+    band_cands[bi].assign(uframes, {});
     // low-pass at ~1.5*bf with a Nuttall-shaped rolloff: keeps the
     // fundamental of components near bf, removes higher harmonics.
     const double cutoff = bf * 1.5;
@@ -237,9 +247,27 @@ int harvest_f0(const double* x_in, long length, double fs, double f0_floor,
       }
       const double dev = std::sqrt(var / 4.0) / m;
       if (dev < 0.25)
-        cands[size_t(i)].push_back({m, dev});
+        band_cands[bi][size_t(i)].push_back({m, dev});
     }
+  };
+
+  if (n_threads <= 1) {
+    for (size_t bi = 0; bi < n_bands; ++bi) analyze_band(bi);
+  } else {
+    std::vector<std::thread> pool;
+    std::vector<size_t> next_band{0};
+    for (int t = 0; t < n_threads; ++t) {
+      pool.emplace_back([&, t]() {
+        for (size_t bi = size_t(t); bi < n_bands; bi += size_t(n_threads))
+          analyze_band(bi);
+      });
+    }
+    for (auto& th : pool) th.join();
   }
+  for (size_t bi = 0; bi < n_bands; ++bi)
+    for (long i = 0; i < n_frames; ++i)
+      for (const auto& cd : band_cands[bi][size_t(i)])
+        cands[size_t(i)].push_back(cd);
 
   // select best candidate per frame
   std::vector<double> f0(size_t(n_frames), 0.0);
