@@ -3,8 +3,10 @@
 from .mesh import (  # noqa: F401
     make_mesh,
     shard_batch,
+    shard_stacked_batch,
     replicate,
     jit_train_step_dp,
+    jit_multi_step_dp,
 )
 from .distributed import (  # noqa: F401
     initialize,

@@ -61,3 +61,34 @@ def jit_train_step_dp(step_fn, mesh: Mesh, *, axis_name: str = "data",
         out_shardings=(state_sh, state_sh),
         **kw,
     )
+
+
+def shard_stacked_batch(batches, mesh: Mesh, *, axis_name: str = "data"):
+    """Place a K-stacked batch dict (leading scan axis K, then batch axis)
+    with the batch axis sharded over the mesh and the scan axis replicated."""
+    sharding = NamedSharding(mesh, P(None, axis_name))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batches)
+
+
+def jit_multi_step_dp(step_fn, mesh: Mesh, *, axis_name: str = "data",
+                      donate: bool = True):
+    """jit a K-step lax.scan over `step_fn` for DP over `mesh`.
+
+    Composes dispatch amortization (steps_per_call) with data parallelism:
+    the scanned program is one XLA executable whose per-step gradient
+    all-reduce over the data axis is derived from the shardings, exactly as
+    in jit_train_step_dp. Stacked batches carry a leading K scan axis
+    (replicated) with the batch axis sharded; per-step metrics come back
+    stacked (K, ...) and replicated.
+    """
+    from ..train.gan import make_multi_step
+
+    state_sh = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(None, axis_name))
+    kw = dict(donate_argnums=(0,)) if donate else {}
+    return jax.jit(
+        make_multi_step(step_fn),
+        in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, state_sh),
+        **kw,
+    )

@@ -56,19 +56,30 @@ class Trainer:
         else:
             self._gen_step, self._gan_step = task.jit_steps(donate=True)
             self._shard = lambda b: b
-        # K steps per device dispatch (lax.scan) — amortizes dispatch latency
+        # K steps per device dispatch (lax.scan) — amortizes dispatch latency.
+        # Composes with DP: under a mesh the scanned step is jitted with the
+        # same replicated-state / batch-axis-sharded shardings, so multi-chip
+        # training keeps the single-dispatch amortization.
         self.steps_per_call = max(int(config.get("steps_per_call", 1)), 1)
-        if self.steps_per_call > 1 and mesh is None:
-            from .gan import make_multi_step
+        if self.steps_per_call > 1:
+            if mesh is not None:
+                from ..parallel import jit_multi_step_dp, shard_stacked_batch
 
-            self._gen_multi = jax.jit(
-                make_multi_step(task.gen_step), donate_argnums=(0,)
-            )
-            self._gan_multi = jax.jit(
-                make_multi_step(task.gan_step), donate_argnums=(0,)
-            )
-        else:
-            self.steps_per_call = 1
+                self._gen_multi = jit_multi_step_dp(task.gen_step, mesh,
+                                                    donate=True)
+                self._gan_multi = jit_multi_step_dp(task.gan_step, mesh,
+                                                    donate=True)
+                self._shard_stacked = lambda b: shard_stacked_batch(b, mesh)
+            else:
+                from .gan import make_multi_step
+
+                self._gen_multi = jax.jit(
+                    make_multi_step(task.gen_step), donate_argnums=(0,)
+                )
+                self._gan_multi = jax.jit(
+                    make_multi_step(task.gan_step), donate_argnums=(0,)
+                )
+                self._shard_stacked = lambda b: b
         self._eval_step = jax.jit(lambda s, b: task.eval_step(s, b))
         # metrics stay on device until the log flush so _train_step never
         # blocks on a transfer (keeps async dispatch fully pipelined)
@@ -104,6 +115,18 @@ class Trainer:
         save_iv = cfg["save_interval_steps"]
 
         step = int(jax.device_get(self.state.step))
+        # Warm-up fast-forward: with generator_train_start_steps > 0 neither
+        # side trains until step > min(g_start, d_start) (reference gating,
+        # train_fastsvc.py:166,210). Jump the whole idle region in one go and
+        # advance state.step with it so checkpoint step-indexing and phase
+        # gating never diverge from the loop counter.
+        if g_start > 0 and step <= min(g_start, d_start):
+            target = min(min(g_start, d_start) + 1, max_steps)
+            self.state = self.state.replace(
+                step=self.state.step + (target - step)
+            )
+            logging.info("warm-up fast-forward: step %d -> %d", step, target)
+            step = target
         t_last, steps_last = time.time(), step
 
         def _next_boundary(s):
@@ -127,25 +150,21 @@ class Trainer:
                     import numpy as _np
 
                     bs = [next(self.train_iter) for _ in range(k)]
-                    batches = jax.tree.map(
-                        lambda *xs: _np.stack(xs), *bs
+                    batches = self._shard_stacked(
+                        jax.tree.map(lambda *xs: _np.stack(xs), *bs)
                     )
                     fn = self._gan_multi if step > d_start else self._gen_multi
-                    if step <= d_start and not (step > g_start or g_start == 0):
-                        step += k
-                        continue
                     self.state, metrics = fn(self.state, batches)
-                    metrics = jax.tree.map(lambda m: m[-1], metrics)
+                    # average over the K scan axis so logged loss curves are
+                    # not 1/K-subsampled
+                    metrics = jax.tree.map(lambda m: m.mean(axis=0), metrics)
                     step += k
                 else:
                     batch = self._shard(next(self.train_iter))
                     if step > d_start:
                         self.state, metrics = self._gan_step(self.state, batch)
-                    elif step > g_start or g_start == 0:
+                    else:
                         self.state, metrics = self._gen_step(self.state, batch)
-                    else:  # warm-up region with neither side training
-                        step += 1
-                        continue
                     step += 1
                 self._accumulate(metrics)
 

@@ -82,6 +82,83 @@ def test_dp_gan_step_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_multi_step_matches_sequential_dp():
+    """K-step scanned DP (steps_per_call x mesh composition) == K sequential
+    DP steps on the same batches."""
+    from svcc23_fastsvc_tpu.parallel import jit_multi_step_dp, shard_stacked_batch
+    from test_train_step import tiny_batch, tiny_task
+
+    task = tiny_task()
+    K = 3
+    batches = [tiny_batch(jax.random.PRNGKey(10 + i), B=8) for i in range(K)]
+
+    mesh = make_mesh(8)
+    # sequential DP steps
+    state_seq = replicate(task.init_state(jax.random.PRNGKey(0)), mesh)
+    step = jit_train_step_dp(task.gan_step, mesh, donate=False)
+    seq_metrics = []
+    for b in batches:
+        state_seq, m = step(state_seq, shard_batch(b, mesh))
+        seq_metrics.append(m)
+
+    # one scanned K-step DP dispatch
+    state_scan = replicate(task.init_state(jax.random.PRNGKey(0)), mesh)
+    stacked = shard_stacked_batch(
+        jax.tree.map(lambda *xs: jnp.stack(xs), *batches), mesh
+    )
+    multi = jit_multi_step_dp(task.gan_step, mesh, donate=False)
+    state_scan, scan_metrics = multi(state_scan, stacked)
+
+    assert int(jax.device_get(state_scan.step)) == K
+    for i, m in enumerate(seq_metrics):
+        for k in ("generator_loss", "discriminator_loss"):
+            np.testing.assert_allclose(
+                float(scan_metrics[k][i]), float(m[k]), rtol=1e-4,
+                err_msg=f"step {i} {k}",
+            )
+    for a, b in zip(jax.tree.leaves(state_seq.g_params),
+                    jax.tree.leaves(state_scan.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_trainer_mesh_with_steps_per_call(tmp_path):
+    """Trainer keeps the scanned multi-step when a mesh is configured
+    (the round-1 code silently forced steps_per_call=1 under DP)."""
+    from svcc23_fastsvc_tpu.train.loop import Trainer
+    from test_train_step import tiny_batch, tiny_task
+
+    task = tiny_task()
+    state = task.init_state(jax.random.PRNGKey(0))
+
+    class Batches:
+        def __iter__(self):
+            i = 0
+            while True:
+                yield {k: np.asarray(v) for k, v in
+                       tiny_batch(jax.random.PRNGKey(i), B=8).items()}
+                i += 1
+
+    cfg = {
+        "train_max_steps": 8,
+        "discriminator_train_start_steps": 4,
+        "log_interval_steps": 4,
+        "eval_interval_steps": 100,
+        "save_interval_steps": 100,
+        "batch_size": 8,
+        "batch_length": 200,
+        "sampling_rate": 4000,
+        "steps_per_call": 4,
+    }
+    trainer = Trainer(task, state, Batches(), config=cfg,
+                      outdir=str(tmp_path / "exp"), mesh=make_mesh(8))
+    assert trainer.steps_per_call == 4  # not silently disabled
+    final = trainer.run()
+    assert int(jax.device_get(final.step)) == 8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_b02_dp_step_runs_on_mesh():
     """B02 acoustic-model training step jits and runs over the 8-dev mesh."""
     from test_b02_train import tiny_batch as b02_batch, tiny_task as b02_task

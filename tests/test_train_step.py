@@ -131,6 +131,44 @@ def test_trainer_steps_per_call(tmp_path):
     assert latest_step(str(tmp_path / "exp")) == 10
 
 
+def test_trainer_warmup_fast_forward(tmp_path):
+    """generator_train_start_steps > 0: the idle warm-up region advances
+    state.step together with the loop counter (round-1 desync bug), for both
+    the single-step and the scanned multi-step paths."""
+    from svcc23_fastsvc_tpu.train.checkpoint import latest_step
+    from svcc23_fastsvc_tpu.train.loop import Trainer
+
+    class Batches:
+        def __iter__(self):
+            i = 0
+            while True:
+                yield {k: np.asarray(v) for k, v in
+                       tiny_batch(jax.random.PRNGKey(i)).items()}
+                i += 1
+
+    for steps_per_call in (1, 3):
+        task = tiny_task()
+        state = task.init_state(jax.random.PRNGKey(0))
+        cfg = {
+            "train_max_steps": 9,
+            "discriminator_train_start_steps": 6,
+            "generator_train_start_steps": 4,
+            "log_interval_steps": 100,
+            "eval_interval_steps": 100,
+            "save_interval_steps": 100,
+            "batch_size": 2,
+            "batch_length": 200,
+            "sampling_rate": 4000,
+            "steps_per_call": steps_per_call,
+        }
+        outdir = str(tmp_path / f"exp{steps_per_call}")
+        trainer = Trainer(task, state, Batches(), config=cfg, outdir=outdir)
+        final = trainer.run()
+        # loop counter and state.step agree at the end: 9, not 9 - 5 skipped
+        assert int(jax.device_get(final.step)) == 9, steps_per_call
+        assert latest_step(outdir) == 9
+
+
 def test_gan_step_with_hifigan_discriminator():
     """Alternative discriminator family (README.md:31 change note) trains."""
     from svcc23_fastsvc_tpu.models.fastsvc import (
