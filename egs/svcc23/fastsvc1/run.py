@@ -17,8 +17,12 @@ Usage:
 
 Expects data/{train,dev,eval}/wav.scp. The Kaldi job-array layer of the
 reference (run.pl/slurm.pl scp shards) is replaced by the batched, jitted
-feature extractors — one process saturates a chip; multi-host runs shard
-the scp by process id (--n-procs/--proc-id).
+feature extractors — one process saturates a chip. Multi-host launches run
+this driver once per host with --n-procs N --proc-id I --coordinator H:P:
+stage 1 shards the scp by process id, stage 4 trains data-parallel over
+the global device slice via jax.distributed, and the single-process stages
+(0, 2, 3, 5) run on process 0 only (sequence stages yourself if hosts don't
+share a filesystem).
 """
 
 import argparse
@@ -51,7 +55,15 @@ def main():
     p.add_argument("--linguistic", default="logmel", choices=["logmel", "conformer"])
     p.add_argument("--ppg-checkpoint", default=None)
     p.add_argument("--speakers", nargs="*", default=None)
+    p.add_argument("--n-procs", type=int, default=1,
+                   help="multi-host: total launcher processes")
+    p.add_argument("--proc-id", type=int, default=0,
+                   help="multi-host: this process's index")
+    p.add_argument("--coordinator", default="127.0.0.1:12321",
+                   help="multi-host: jax.distributed coordinator host:port")
     args = p.parse_args()
+    multiproc = args.n_procs > 1
+    main_proc = args.proc_id == 0
 
     train_scp = os.path.join(args.datadir, "train", "wav.scp")
     dev_scp = os.path.join(args.datadir, "dev", "wav.scp")
@@ -61,7 +73,7 @@ def main():
     def dump(split, norm=False):
         return os.path.join(args.dumpdir, f"{split}{'_norm' if norm else ''}")
 
-    if args.stage <= 0 <= args.stop_stage:
+    if args.stage <= 0 <= args.stop_stage and main_proc:
         sh("extract_spk_embs", "--wav-scp", train_scp, "--out-file", spk_embs,
            "--mode", "hash")
 
@@ -74,15 +86,18 @@ def main():
                 extra = ["--ppg-checkpoint", args.ppg_checkpoint]
             if os.path.exists(args.f0_conf):
                 extra += ["--f0-config", args.f0_conf]
+            if multiproc:  # scp shard per process (Kaldi job-array role)
+                extra += ["--n-shards", args.n_procs,
+                          "--shard-id", args.proc_id]
             sh("preprocess_fastsvc", "--wav-scp", scp, "--dumpdir", dump(split),
                "--config", args.conf, "--spk-emb-file", spk_embs,
                "--linguistic", args.linguistic, *extra)
 
-    if args.stage <= 2 <= args.stop_stage:
+    if args.stage <= 2 <= args.stop_stage and main_proc:
         sh("compute_f0stats", "--dumpdir", dump("train"),
            "--outdir", os.path.join(args.dumpdir, "f0_stats"))
 
-    if args.stage <= 3 <= args.stop_stage:
+    if args.stage <= 3 <= args.stop_stage and main_proc:
         stats = os.path.join(args.dumpdir, "stats.joblib")
         sh("compute_statistics_fastsvc", "--dumpdir", dump("train"),
            "--dumpfile", stats)
@@ -95,10 +110,13 @@ def main():
         extra = []
         if os.path.isdir(dump("dev", norm=True)):
             extra = ["--dev-dumpdir", dump("dev", norm=True)]
+        if multiproc:
+            extra += ["--n-procs", args.n_procs, "--proc-id", args.proc_id,
+                      "--coordinator", args.coordinator]
         sh("train_fastsvc", "--train-dumpdir", dump("train", norm=True),
            "--outdir", exp, "--config", args.conf, "--resume", *extra)
 
-    if args.stage <= 5 <= args.stop_stage:
+    if args.stage <= 5 <= args.stop_stage and main_proc:
         extra = []
         if args.speakers:
             extra = ["--speakers", *args.speakers]

@@ -12,4 +12,5 @@ from .distributed import (  # noqa: F401
     initialize,
     HostShardedBatcher,
     global_batch,
+    global_stacked_batch,
 )

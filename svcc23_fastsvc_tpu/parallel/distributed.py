@@ -71,3 +71,16 @@ def global_batch(local_batch: dict, mesh: Mesh, *, axis_name: str = "data"):
         k: jax.make_array_from_process_local_data(sharding, v)
         for k, v in local_batch.items()
     }
+
+
+def global_stacked_batch(local_batches: dict, mesh: Mesh, *,
+                         axis_name: str = "data"):
+    """K-stacked per-host batches (leading scan axis K, then the local batch
+    axis) -> global jax.Arrays with the scan axis replicated and the batch
+    axis sharded over the data axis — the multi-host feed for the scanned
+    steps_per_call dispatch (jit_multi_step_dp)."""
+    sharding = NamedSharding(mesh, P(None, axis_name))
+    return {
+        k: jax.make_array_from_process_local_data(sharding, v)
+        for k, v in local_batches.items()
+    }

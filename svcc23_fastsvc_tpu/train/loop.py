@@ -36,6 +36,7 @@ class Trainer:
         dev_batcher=None,
         writer=None,
         mesh=None,
+        multihost: bool = False,
     ):
         from ..data.prefetch import PrefetchIterator
 
@@ -46,13 +47,20 @@ class Trainer:
         self.config = config
         self.outdir = outdir
         self.writer = writer
+        self.multihost = multihost and jax.process_count() > 1
         if mesh is not None:
             from ..parallel import jit_train_step_dp, replicate, shard_batch
 
             self.state = replicate(self.state, mesh)
             self._gen_step = jit_train_step_dp(task.gen_step, mesh, donate=True)
             self._gan_step = jit_train_step_dp(task.gan_step, mesh, donate=True)
-            self._shard = lambda b: shard_batch(b, mesh)
+            if self.multihost:
+                # each process feeds its local rows of the global batch
+                from ..parallel import global_batch
+
+                self._shard = lambda b: global_batch(b, mesh)
+            else:
+                self._shard = lambda b: shard_batch(b, mesh)
         else:
             self._gen_step, self._gan_step = task.jit_steps(donate=True)
             self._shard = lambda b: b
@@ -69,7 +77,16 @@ class Trainer:
                                                     donate=True)
                 self._gan_multi = jit_multi_step_dp(task.gan_step, mesh,
                                                     donate=True)
-                self._shard_stacked = lambda b: shard_stacked_batch(b, mesh)
+                if self.multihost:
+                    from ..parallel import global_stacked_batch
+
+                    self._shard_stacked = (
+                        lambda b: global_stacked_batch(b, mesh)
+                    )
+                else:
+                    self._shard_stacked = (
+                        lambda b: shard_stacked_batch(b, mesh)
+                    )
             else:
                 from .gan import make_multi_step
 
@@ -100,7 +117,11 @@ class Trainer:
             logging.info("resumed from step %d", step)
 
     def save(self, step: int):
-        save_checkpoint(self.outdir, self.state, step, config=self.config)
+        # Under jax.distributed, orbax's CheckpointManager coordinates the
+        # write itself (its own cross-process barriers), so every process
+        # must call it collectively; only process 0 dumps config.yml.
+        cfg = self.config if jax.process_index() == 0 else None
+        save_checkpoint(self.outdir, self.state, step, config=cfg)
         logging.info("saved checkpoint at step %d", step)
 
     # -- loop ------------------------------------------------------------
@@ -237,6 +258,10 @@ class Trainer:
         train_fastsvc.py:353-403, num_save_intermediate_results)."""
         n = self.config.get("num_save_intermediate_results", 0)
         if not n or not hasattr(self.task, "_forward"):
+            return
+        if self.multihost:
+            # the dump forward runs outside the collective step; skip it
+            # rather than stranding non-zero hosts in a partial program
             return
         try:
             import os
