@@ -6,17 +6,59 @@ Prints ONE JSON line:
 Baseline anchor (BASELINE.md): the reference trains 600k steps x 32 s of
 audio per step in ~2 days on one RTX 3090 ≈ 110 audio-seconds/s sustained
 (both GAN phases). vs_baseline = ours / 110.
+
+Measurement methodology (round-2 rework; see VERDICT.md weak #1):
+  * Timing is derived from TWO scan lengths K1 < K2 run as single device
+    programs: per-step time = (t(K2) - t(K1)) / (K2 - K1). Fixed dispatch /
+    RPC-tunnel latency cancels in the difference, and each measurement is
+    forced to completion by jax.device_get of a param leaf — actual result
+    bytes crossing back to the host — NOT jax.block_until_ready, which on
+    the experimental 'axon' tunnel was observed to return before device
+    completion (the round-1 numbers timed RPC round-trips, ~22x over the
+    chip's bf16 peak).
+  * Physics check: FLOPs/step come from the compiled program's XLA cost
+    analysis; the script reports MFU = implied FLOP/s / device bf16 peak
+    and RAISES if implied FLOP/s exceeds peak — an impossible number never
+    gets printed.
 """
 
+import argparse
 import json
-import sys
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# bf16 peak matmul throughput per chip, FLOP/s. Sources: public TPU specs
+# (v4: 275 TF; v5e aka "v5 lite": 197 TF; v5p: 459 TF; v6e Trillium: 918 TF).
+_PEAK_BF16 = {
+    "TPU v2": 45e12,
+    "TPU v3": 123e12,
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,  # v5p
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
 
-def build_task(sr: int = 24000):
+def device_peak_bf16():
+    d = jax.devices()[0]
+    kind = getattr(d, "device_kind", str(d))
+    # longest-prefix match so "TPU v5 lite" wins over "TPU v5"
+    best = None
+    for k, v in _PEAK_BF16.items():
+        if kind.startswith(k) and (best is None or len(k) > len(best[0])):
+            best = (k, v)
+    if best is not None:
+        return best[1], kind
+    return None, kind  # unknown (e.g. CPU) — skip the physics assert
+
+
+def build_task(sr: int = 24000, compute_dtype=None):
     """BASELINE.json metric is at 24 kHz: the paper's [5,4,4,2] generator
     (hop 160 at 24 kHz). sr=16000 gives the conf/fastsvc.yaml [2,4,4,5]
     recipe config instead."""
@@ -40,6 +82,7 @@ def build_task(sr: int = 24000):
         g_tx=make_optimizer(lr=1e-3, grad_norm=10.0),
         d_tx=make_optimizer(lr=1e-3, grad_norm=1.0),
         signal_generator=SignalGenerator(sample_rate=sr, hop_size=160),
+        compute_dtype=compute_dtype,
     )
 
 
@@ -54,102 +97,212 @@ def make_batch(key, B, Tf, hop, in_channels=144, emb=512):
     }
 
 
-def time_fn(fn, *args, iters=10, state_arg=None):
-    """Median wall time per call; fn may thread a state through."""
-    times = []
-    for _ in range(iters):
+def force_done(tree):
+    """Force completion by pulling real result bytes to the host.
+
+    jax.block_until_ready was observed not to synchronize with device
+    completion on the experimental axon tunnel (VERDICT.md weak #1), so a
+    wall-clock stop based on it measures dispatch, not execution. device_get
+    of an output leaf cannot return before the computation that produced the
+    bytes has finished.
+    """
+    leaf = jax.tree.leaves(tree)[0]
+    return np.asarray(jax.device_get(leaf)).ravel()[0]
+
+
+def make_train_scan(step_fn, K):
+    """K training steps over one (re-used) batch as a single device program.
+
+    The carried train state makes every iteration depend on the previous
+    one, so XLA cannot hoist the body out of the loop.
+    """
+
+    def fn(state, batch):
+        def body(s, _):
+            s2, _m = step_fn(s, batch)
+            return s2, None
+
+        state, _ = jax.lax.scan(body, state, None, length=K)
+        return state
+
+    return jax.jit(fn)
+
+
+def time_train(step_fn, state, batch, *, k1=10, k2=60, reps=3):
+    """Per-step seconds via the two-scan-length difference estimator."""
+    scan1 = make_train_scan(step_fn, k1)
+    scan2 = make_train_scan(step_fn, k2)
+    # compile + warm up both programs
+    state = scan1(state, batch)
+    force_done(state.g_params)
+    state = scan2(state, batch)
+    force_done(state.g_params)
+
+    def timed(scan_fn, s):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2], out
+        s = scan_fn(s, batch)
+        force_done(s.g_params)
+        return time.perf_counter() - t0, s
+
+    t1s, t2s = [], []
+    for _ in range(reps):
+        t, state = timed(scan1, state)
+        t1s.append(t)
+        t, state = timed(scan2, state)
+        t2s.append(t)
+    t1, t2 = min(t1s), min(t2s)
+    per_step = (t2 - t1) / (k2 - k1)
+    # guard against clock noise making the difference negative: fall back to
+    # the conservative whole-program bound (includes dispatch overhead)
+    if per_step <= 0:
+        per_step = t2 / k2
+    return per_step, t2 / k2, state
+
+
+def make_synth_scan(apply_fn, K):
+    """K generator forwards; the carry perturbs the input by ~1e-12 x the
+    previous output's mean so iterations are sequentially dependent (no
+    loop-invariant hoisting), while the numerics stay unchanged."""
+
+    def fn(params, ppg, sine, lft, emb):
+        def body(c, _):
+            out = apply_fn(params, ppg + c * 1e-12, sine, lft, emb)
+            return jnp.mean(out), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+        return c
+
+    return jax.jit(fn)
+
+
+def time_synth(apply_fn, args, *, k1=10, k2=60, reps=3):
+    scan1 = make_synth_scan(apply_fn, k1)
+    scan2 = make_synth_scan(apply_fn, k2)
+    force_done(scan1(*args))
+    force_done(scan2(*args))
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        force_done(fn(*args))
+        return time.perf_counter() - t0
+
+    t1 = min(timed(scan1) for _ in range(reps))
+    t2 = min(timed(scan2) for _ in range(reps))
+    per_call = (t2 - t1) / (k2 - k1)
+    if per_call <= 0:
+        per_call = t2 / k2
+    return per_call
+
+
+def flops_of(jitted, *args):
+    """FLOPs of the compiled program from XLA cost analysis (None if the
+    backend doesn't report them)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = ca.get("flops") if ca else None
+        return float(f) if f else None
+    except Exception:
+        return None
+
+
+def check_physics(name, flops_per_step, per_step_s, peak):
+    """MFU + hard failure on impossible numbers."""
+    if flops_per_step is None:
+        return None
+    implied = flops_per_step / per_step_s
+    if peak is not None and implied > 1.05 * peak:
+        raise RuntimeError(
+            f"{name}: implied {implied/1e12:.1f} TFLOP/s exceeds device bf16 "
+            f"peak {peak/1e12:.1f} TFLOP/s — timing is not synchronizing "
+            f"with device completion; refusing to report a fake number"
+        )
+    return implied / peak if peak else None
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace-dir", default=None,
+                    help="optional jax.profiler trace output dir")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--k1", type=int, default=10)
+    ap.add_argument("--k2", type=int, default=60)
+    args = ap.parse_args()
+
     # Reference training shape: batch 32 x 1 s (conf/fastsvc.yaml:71-72),
     # evaluated at 24 kHz per the BASELINE metric (150 frames x hop 160).
-    B, sr, hop = 32, 24000, 160
+    B, sr, hop = args.batch, 24000, 160
     Tf = sr // hop
     audio_s_per_batch = B * Tf * hop / sr
+
+    peak, device_kind = device_peak_bf16()
 
     task = build_task(sr)
     state = task.init_state(jax.random.PRNGKey(0))
     batch = make_batch(jax.random.PRNGKey(1), B, Tf, hop)
 
-    gen_step, gan_step = task.jit_steps(donate=False)
-
-    # Warmup/compile both phases.
+    # FLOPs of one full GAN step (the sustained regime: 500k of 600k steps)
     t0 = time.perf_counter()
-    state, _ = gen_step(state, batch)
-    jax.block_until_ready(state.g_params)
-    gen_compile = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    state, _ = gan_step(state, batch)
-    jax.block_until_ready(state.g_params)
+    gan_flops = flops_of(jax.jit(task.gan_step), state, batch)
     gan_compile = time.perf_counter() - t0
 
-    # Timed GAN-phase steps (the sustained regime: 500k of 600k steps).
-    times = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        state, _m = gan_step(state, batch)
-        jax.block_until_ready(state.g_params)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    step_t = times[len(times) // 2]
+    if args.trace_dir:
+        jax.profiler.start_trace(args.trace_dir)
 
-    # Sustained regime: K steps per dispatch (lax.scan) amortizes host->device
-    # dispatch — the production Trainer uses the same path (steps_per_call).
-    from svcc23_fastsvc_tpu.train.gan import make_multi_step
-
-    K = 8
-    batches = jax.tree.map(
-        lambda *xs: jnp.stack(xs),
-        *[make_batch(jax.random.PRNGKey(100 + i), B, Tf, hop) for i in range(K)],
+    step_t, step_t_bound, state = time_train(
+        task.gan_step, state, batch, k1=args.k1, k2=args.k2, reps=args.reps
     )
-    multi = jax.jit(make_multi_step(task.gan_step))
-    state, m = multi(state, batches)
-    jax.block_until_ready(m)
-    times = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        state, m = multi(state, batches)
-        jax.block_until_ready(m)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    scan_step_t = times[len(times) // 2] / K
-    train_tput = audio_s_per_batch / scan_step_t
+    train_tput = audio_s_per_batch / step_t
+    train_mfu = check_physics("gan_step_f32", gan_flops, step_t, peak)
+
+    # bf16 mixed-precision column (conv/matmul compute in bf16, losses f32)
+    task_bf16 = build_task(sr, compute_dtype=jnp.bfloat16)
+    state16 = task_bf16.init_state(jax.random.PRNGKey(0))
+    bf16_flops = flops_of(jax.jit(task_bf16.gan_step), state16, batch)
+    step16_t, _, _ = time_train(task_bf16.gan_step, state16, batch,
+                                k1=args.k1, k2=args.k2, reps=args.reps)
+    train16_tput = audio_s_per_batch / step16_t
+    train16_mfu = check_physics("gan_step_bf16", bf16_flops, step16_t, peak)
 
     # Synthesis throughput: folded-weight generator forward, large batch.
     from svcc23_fastsvc_tpu.ops import fold_weight_norm
 
     g_inf = fold_weight_norm(state.g_params)
-    sb, sTf = 64, Tf
-    sbatch = make_batch(jax.random.PRNGKey(2), sb, sTf, hop)
+    sb = 64
+    sbatch = make_batch(jax.random.PRNGKey(2), sb, Tf, hop)
     sine = task.signal_generator(sbatch["f0"], jax.random.PRNGKey(3))
+    syn_args = (g_inf, sbatch["ppg"], sine, sbatch["lft"], sbatch["spk_emb"])
 
-    fwd = jax.jit(
-        lambda p, ppg, sine, lft, emb: task.generator.apply(p, ppg, sine, lft, emb)
-    )
-    out = fwd(g_inf, sbatch["ppg"], sine, sbatch["lft"], sbatch["spk_emb"])
-    jax.block_until_ready(out)
-    syn_t, _ = time_fn(
-        fwd, g_inf, sbatch["ppg"], sine, sbatch["lft"], sbatch["spk_emb"], iters=20
-    )
-    syn_tput = (sb * sTf * hop / sr) / syn_t
+    syn_flops = flops_of(jax.jit(task.generator.apply), *syn_args)
+    syn_t = time_synth(task.generator.apply, syn_args,
+                       k1=args.k1, k2=args.k2, reps=args.reps)
+    syn_tput = (sb * Tf * hop / sr) / syn_t
+    syn_mfu = check_physics("synthesis_f32", syn_flops, syn_t, peak)
+
+    if args.trace_dir:
+        jax.profiler.stop_trace()
 
     result = {
         "metric": "fastsvc_gan_train_audio_seconds_per_s_per_chip_24khz",
         "value": round(train_tput, 1),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(train_tput / 110.0, 2),
+        "gan_step_ms": round(step_t * 1e3, 3),
+        "gan_step_ms_incl_dispatch": round(step_t_bound * 1e3, 3),
+        "gan_step_tflop": round(gan_flops / 1e12, 3) if gan_flops else None,
+        "mfu": round(train_mfu, 4) if train_mfu is not None else None,
+        "bf16_audio_s_per_s": round(train16_tput, 1),
+        "bf16_gan_step_ms": round(step16_t * 1e3, 3),
+        "bf16_mfu": round(train16_mfu, 4) if train16_mfu is not None else None,
         "synthesis_audio_s_per_s_per_chip": round(syn_tput, 1),
-        "gan_step_ms": round(scan_step_t * 1e3, 2),
-        "gan_single_dispatch_step_ms": round(step_t * 1e3, 2),
+        "synthesis_mfu": round(syn_mfu, 4) if syn_mfu is not None else None,
         "batch": B,
-        "compile_s": {"gen": round(gen_compile, 1), "gan": round(gan_compile, 1)},
-        "device": str(jax.devices()[0]),
+        "compile_s": round(gan_compile, 1),
+        "device": device_kind,
+        "peak_bf16_tflops": round(peak / 1e12, 1) if peak else None,
+        "timing": "two-scan-length difference, device_get-forced sync",
     }
     print(json.dumps(result))
 
