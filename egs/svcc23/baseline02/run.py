@@ -41,7 +41,10 @@ def main():
     p.add_argument("--linguistic", default="logmel", choices=["logmel", "hubert"])
     p.add_argument("--hubert-checkpoint", default=None)
     p.add_argument("--vocoder-dir", default=None)
-    p.add_argument("--f0-stats", default="conf/lf0_stats.yml")
+    p.add_argument("--f0-stats", default="conf/f0.yml",
+                   help="per-speaker yaml with lf0_mean/lf0_scale (the "
+                        "shipped conf/f0.yml carries both the Harvest "
+                        "ranges and the conversion stats)")
     p.add_argument("--speakers", nargs="*", default=["IDM1"])
     args = p.parse_args()
 

@@ -121,6 +121,8 @@ def build_signal_generator(cfg: dict):
         sine_amp=sg.get("sine_amp", 0.1),
         noise_amp=sg.get("noise_amp", 0.003),
         signal_types=tuple(sg.get("signal_types", ["sine"])),
+        sine_f0_type=sg.get("sine_f0_type", "f0"),  # conf/fastsvc.yaml:79
+        use_pallas=bool(sg.get("use_pallas", False)),
     )
 
 

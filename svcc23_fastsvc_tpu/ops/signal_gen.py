@@ -21,12 +21,48 @@ import jax.numpy as jnp
 from .resample import nearest_upsample
 
 
+def continuous_f0(f0):
+    """Continuous-F0 track: linear interpolation through unvoiced regions.
+
+    f0: (B, T, 1) with 0 marking unvoiced frames. Leading/trailing unvoiced
+    runs take the nearest voiced value; an all-unvoiced track stays 0.
+    Jittable (static shapes, cummax/cummin scans — no data-dependent
+    control flow), replacing the reference's scipy interp1d "slinear"
+    continuous-F0 construction (preprocess_b02.py:49-105).
+    """
+    x = f0[..., 0]
+    B, T = x.shape
+    voiced = x > 0
+    idx = jnp.arange(T)[None, :]
+    prev = jax.lax.cummax(jnp.where(voiced, idx, -1), axis=1)
+    nxt = jnp.flip(
+        jax.lax.cummin(jnp.flip(jnp.where(voiced, idx, T), axis=1), axis=1),
+        axis=1,
+    )
+    vp = jnp.take_along_axis(x, jnp.clip(prev, 0, T - 1), axis=1)
+    vn = jnp.take_along_axis(x, jnp.clip(nxt, 0, T - 1), axis=1)
+    has_prev, has_next = prev >= 0, nxt <= T - 1
+    denom = jnp.maximum(nxt - prev, 1).astype(x.dtype)
+    w = (idx - prev).astype(x.dtype) / denom
+    interp = vp + (vn - vp) * w
+    cf0 = jnp.where(
+        has_prev & has_next, interp,
+        jnp.where(has_prev, vp, jnp.where(has_next, vn, 0.0)),
+    )
+    return jnp.where(voiced, x, cf0)[..., None]
+
+
 @dataclass(frozen=True)
 class SignalGenerator:
     """Builds generator input excitation from frame-rate F0.
 
     Call with f0 of shape (B, T_frames, 1); returns (B, T_frames*hop, C)
     where C = len(signal_types).
+
+    sine_f0_type: "f0" (reference default) gates the sine by V/UV; "contf0"
+    (config surface conf/fastsvc.yaml:79 / taco2_hubertsoft.yaml:62) drives
+    an ungated NSF sine from the continuous-F0 track (usfgan-style
+    excitation; V/UV still shapes the noise floor and the "uv" channel).
     """
 
     sample_rate: int = 16000
@@ -34,12 +70,15 @@ class SignalGenerator:
     sine_amp: float = 0.1
     noise_amp: float = 0.003
     signal_types: tuple = ("sine",)
+    sine_f0_type: str = "f0"
     use_pallas: bool = False  # fused single-pass kernel (ops.pallas_kernels)
 
     def __post_init__(self):
         for t in self.signal_types:
             if t not in ("sine", "noise", "uv"):
                 raise ValueError(f"unsupported signal type: {t}")
+        if self.sine_f0_type not in ("f0", "contf0"):
+            raise ValueError(f"unsupported sine_f0_type: {self.sine_f0_type}")
 
     def __call__(self, f0, key=None):
         if key is None:
@@ -62,18 +101,22 @@ class SignalGenerator:
     def sinusoid(self, f0, key):
         B, T, _ = f0.shape
         vuv = nearest_upsample((f0 > 0).astype(f0.dtype), self.hop_size)
+        src_f0 = continuous_f0(f0) if self.sine_f0_type == "contf0" else f0
+        gate = 1.0 if self.sine_f0_type == "contf0" else vuv
         if self.use_pallas:
             from .pallas_kernels import sine_excitation
 
+            # the kernel gates by f0>0 internally: idempotent with the vuv
+            # gate for "f0", and a no-op on the strictly-positive contf0
             sine = sine_excitation(
-                f0[:, :, 0], hop=self.hop_size, sr=self.sample_rate,
+                src_f0[:, :, 0], hop=self.hop_size, sr=self.sample_rate,
                 amp=self.sine_amp,
             )[:, :, None]
         else:
-            f0_up = nearest_upsample(f0, self.hop_size)
+            f0_up = nearest_upsample(src_f0, self.hop_size)
             radious = (f0_up / self.sample_rate) % 1.0
             phase = jnp.cumsum(radious, axis=1) * (2.0 * math.pi)
-            sine = vuv * jnp.sin(phase) * self.sine_amp
+            sine = gate * jnp.sin(phase) * self.sine_amp
         if self.noise_amp > 0:
             namp = vuv * self.noise_amp + (1.0 - vuv) * (self.noise_amp / 3.0)
             noise = jax.random.normal(key, sine.shape, sine.dtype) * namp

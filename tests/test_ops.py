@@ -186,3 +186,53 @@ def test_pallas_sine_excitation_matches_reference_formula():
         gen.sinusoid(jnp.asarray(f0[:, :77, None]), jax.random.PRNGKey(0))
     )
     np.testing.assert_allclose(got2, want2[:, :, 0], atol=2e-4)
+
+
+def test_continuous_f0_interpolation():
+    """continuous_f0 linearly bridges unvoiced gaps and extends edges."""
+    from svcc23_fastsvc_tpu.ops.signal_gen import continuous_f0
+
+    f0 = np.zeros((2, 8, 1), np.float32)
+    f0[0, :, 0] = [0, 0, 100, 0, 0, 200, 0, 0]
+    # row 1 entirely unvoiced stays zero
+    out = np.asarray(continuous_f0(jnp.asarray(f0)))
+    np.testing.assert_allclose(
+        out[0, :, 0],
+        [100, 100, 100, 100 + 100 / 3, 100 + 200 / 3, 200, 200, 200],
+        rtol=1e-6,
+    )
+    np.testing.assert_array_equal(out[1, :, 0], np.zeros(8))
+    # voiced frames pass through untouched
+    rng = np.random.default_rng(3)
+    f0r = np.where(rng.random((1, 30, 1)) > 0.4,
+                   rng.uniform(80, 300, (1, 30, 1)), 0.0).astype(np.float32)
+    outr = np.asarray(continuous_f0(jnp.asarray(f0r)))
+    voiced = f0r > 0
+    np.testing.assert_allclose(outr[voiced], f0r[voiced])
+    assert (outr[0, :, 0] > 0).all() or not voiced.any()
+
+
+def test_signal_generator_contf0_mode():
+    """sine_f0_type=contf0 (conf/fastsvc.yaml:79): ungated NSF sine from the
+    continuous track — full amplitude through unvoiced gaps."""
+    from svcc23_fastsvc_tpu.ops.signal_gen import continuous_f0
+
+    hop, fs = 160, 16000
+    f0 = np.zeros((1, 20, 1), np.float32)
+    f0[0, 5:15, 0] = np.linspace(100, 220, 10)
+    gen = SignalGenerator(sample_rate=fs, hop_size=hop, sine_amp=0.1,
+                          noise_amp=0.0, sine_f0_type="contf0")
+    got = np.asarray(gen.sinusoid(jnp.asarray(f0), jax.random.PRNGKey(0)))
+    # reference formula on the continuous track, no vuv gate
+    cf0 = continuous_f0(jnp.asarray(f0))
+    f0_t = torch.from_numpy(np.moveaxis(np.asarray(cf0), -1, 1))
+    rad = (F.interpolate(f0_t, 20 * hop) / fs) % 1
+    ref = (torch.sin(torch.cumsum(rad, dim=2) * 2 * np.pi) * 0.1).numpy()
+    np.testing.assert_allclose(got[:, :, 0], ref[:, 0, :], rtol=1e-4, atol=1e-5)
+    # unvoiced region still carries the sine (that's the point of contf0)
+    assert np.abs(got[0, : 5 * hop, 0]).max() > 0.05
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SignalGenerator(sine_f0_type="nope")
