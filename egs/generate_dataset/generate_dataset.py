@@ -18,16 +18,16 @@ import sys
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 sys.path.insert(0, REPO)
 
-# NHSS speaker id -> SVCC23 id (reference generate_svcctest.py:12-24)
+# NHSS speaker id -> SVCC23 id (reference generate_svcctest.py:12-24).
+# For the faithful challenge reproduction (song/speech selection, test-song
+# exclusion, 1XXXX renumbering, timestamped test cuts) use generate_svcc.py.
 SPEAKER_MAP = {
     "M04": "IDM1",
     "F01": "IDF1",
     "M03": "CDM1",
-    "F04": "CDF1",
+    "F02": "CDF1",
     "M02": "SM1",
-    "F02": "SF1",
-    "M01": "SM2",
-    "F03": "SF2",
+    "F04": "SF1",
 }
 
 

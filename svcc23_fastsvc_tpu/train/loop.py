@@ -24,6 +24,39 @@ import numpy as np
 from .checkpoint import latest_step, load_checkpoint, load_params_only, save_checkpoint
 
 
+def _plot_waveforms_png(path, gen, ref, sr):
+    """Side-by-side waveform + log-spectrogram listening-check figure
+    (reference train_fastsvc.py:353-403 saves the same artifacts)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(2, 2, figsize=(10, 6))
+    t = np.arange(len(ref)) / sr
+    for col, (name, y) in enumerate((("generated", gen), ("reference", ref))):
+        axes[0, col].plot(t[: len(y)], y, linewidth=0.4)
+        axes[0, col].set_title(name)
+        axes[0, col].set_xlabel("s")
+        n_fft, hop = 1024, 256
+        if len(y) >= n_fft:
+            frames = 1 + (len(y) - n_fft) // hop
+            idx = np.arange(n_fft)[None, :] + hop * np.arange(frames)[:, None]
+            spec = np.abs(
+                np.fft.rfft(np.asarray(y)[idx] * np.hanning(n_fft), axis=1)
+            )
+            axes[1, col].imshow(
+                20 * np.log10(np.maximum(spec, 1e-5)).T, origin="lower",
+                aspect="auto", cmap="magma",
+                extent=[0, frames * hop / sr, 0, sr / 2 / 1000],
+            )
+            axes[1, col].set_ylabel("kHz")
+            axes[1, col].set_xlabel("s")
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+
+
 class Trainer:
     def __init__(
         self,
@@ -277,8 +310,11 @@ class Trainer:
             os.makedirs(outdir, exist_ok=True)
             sr = self.config.get("sampling_rate", 16000)
             for i in range(min(n, y_hat.shape[0])):
+                ref = np.asarray(batch["audio"][i, :, 0])
                 write_wav(os.path.join(outdir, f"{i}_gen.wav"), y_hat[i, :, 0], sr)
-                write_wav(os.path.join(outdir, f"{i}_ref.wav"),
-                          np.asarray(batch["audio"][i, :, 0]), sr)
+                write_wav(os.path.join(outdir, f"{i}_ref.wav"), ref, sr)
+                _plot_waveforms_png(
+                    os.path.join(outdir, f"{i}.png"), y_hat[i, :, 0], ref, sr
+                )
         except Exception as e:  # never kill training over a dump
             logging.warning("intermediate dump failed: %s", e)

@@ -203,3 +203,79 @@ def test_gan_step_with_hifigan_discriminator():
     state, m = gan_step(state, tiny_batch(jax.random.PRNGKey(1)))
     for k in ("adversarial_loss", "real_loss", "fake_loss"):
         assert np.isfinite(float(m[k])), k
+
+
+def test_bf16_compute_parity_and_convergence():
+    """compute_dtype=bf16 (VERDICT round-1 weak #5): losses stay f32, the
+    initial loss is within bf16 tolerance of the f32 pipeline, and the
+    generator still converges over a short run."""
+    import dataclasses
+
+    task32 = tiny_task()
+    task16 = dataclasses.replace(task32, compute_dtype=jnp.bfloat16)
+    batch = tiny_batch(jax.random.PRNGKey(1))
+
+    s32 = task32.init_state(jax.random.PRNGKey(0))
+    s16 = task16.init_state(jax.random.PRNGKey(0))
+    m32 = jax.jit(lambda s, b: task32.eval_step(s, b))(s32, batch)
+    m16 = jax.jit(lambda s, b: task16.eval_step(s, b))(s16, batch)
+    for k in ("generator_loss", "discriminator_loss"):
+        a, b = float(m32[k]), float(m16[k])
+        assert m16[k].dtype == jnp.float32  # losses computed in f32
+        assert abs(a - b) < 0.1 * max(abs(a), 1.0), (k, a, b)
+
+    # params remain f32 through updates; loss decreases
+    gen_step, gan_step = task16.jit_steps(donate=False)
+    losses = []
+    state = s16
+    for _ in range(25):
+        state, metrics = gen_step(state, batch)
+        losses.append(float(metrics["generator_loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree.leaves(state.g_params))
+    # GAN phase also runs under bf16 compute
+    state, metrics = gan_step(state, batch)
+    for k in ("adversarial_loss", "real_loss", "fake_loss"):
+        assert np.isfinite(float(metrics[k])), k
+
+
+def test_intermediate_dump_writes_wavs_and_pngs(tmp_path):
+    """Eval-time listening artifacts: wav pairs + waveform/spectrogram PNGs
+    (reference train_fastsvc.py:353-403)."""
+    import os
+
+    from svcc23_fastsvc_tpu.train.loop import Trainer
+
+    task = tiny_task()
+    state = task.init_state(jax.random.PRNGKey(0))
+
+    class Batches:
+        def __iter__(self):
+            i = 0
+            while True:
+                yield {k: np.asarray(v) for k, v in
+                       tiny_batch(jax.random.PRNGKey(i)).items()}
+                i += 1
+
+    cfg = {
+        "train_max_steps": 2,
+        "discriminator_train_start_steps": 10,
+        "log_interval_steps": 100,
+        "eval_interval_steps": 2,
+        "save_interval_steps": 100,
+        "eval_batches": 1,
+        "num_save_intermediate_results": 1,
+        "batch_size": 2,
+        "batch_length": 200,
+        "sampling_rate": 4000,
+    }
+    trainer = Trainer(task, state, Batches(), config=cfg,
+                      outdir=str(tmp_path / "exp"), dev_batcher=Batches())
+    trainer.run()
+    pred = tmp_path / "exp" / "predictions" / "step2"
+    files = sorted(os.listdir(pred))
+    assert "0_gen.wav" in files and "0_ref.wav" in files
+    assert "0.png" in files
+    assert (pred / "0.png").stat().st_size > 1000
