@@ -122,7 +122,8 @@ def build_signal_generator(cfg: dict):
         noise_amp=sg.get("noise_amp", 0.003),
         signal_types=tuple(sg.get("signal_types", ["sine"])),
         sine_f0_type=sg.get("sine_f0_type", "f0"),  # conf/fastsvc.yaml:79
-        use_pallas=bool(sg.get("use_pallas", False)),
+        # None = auto (fused Mosaic kernel on TPU, XLA path elsewhere)
+        use_pallas=sg.get("use_pallas", None),
     )
 
 

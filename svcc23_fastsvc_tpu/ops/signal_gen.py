@@ -71,7 +71,12 @@ class SignalGenerator:
     noise_amp: float = 0.003
     signal_types: tuple = ("sine",)
     sine_f0_type: str = "f0"
-    use_pallas: bool = False  # fused single-pass kernel (ops.pallas_kernels)
+    # fused single-pass Mosaic kernel (ops.pallas_kernels). None = auto:
+    # enabled on TPU devices, off elsewhere (the kernel needs Mosaic;
+    # CPU tests exercise it via interpret mode directly). Chip-validated
+    # vs the XLA formula: max |diff| 3.7e-5, ~2.1x faster at bench shapes
+    # (B32 x 150 frames x hop 160 on v5e: 70 us vs 150 us per call).
+    use_pallas: "bool | None" = None
 
     def __post_init__(self):
         for t in self.signal_types:
@@ -79,6 +84,14 @@ class SignalGenerator:
                 raise ValueError(f"unsupported signal type: {t}")
         if self.sine_f0_type not in ("f0", "contf0"):
             raise ValueError(f"unsupported sine_f0_type: {self.sine_f0_type}")
+
+    def _pallas_enabled(self) -> bool:
+        if self.use_pallas is not None:
+            return self.use_pallas
+        try:
+            return jax.devices()[0].device_kind.startswith("TPU")
+        except Exception:
+            return False
 
     def __call__(self, f0, key=None):
         if key is None:
@@ -103,7 +116,7 @@ class SignalGenerator:
         vuv = nearest_upsample((f0 > 0).astype(f0.dtype), self.hop_size)
         src_f0 = continuous_f0(f0) if self.sine_f0_type == "contf0" else f0
         gate = 1.0 if self.sine_f0_type == "contf0" else vuv
-        if self.use_pallas:
+        if self._pallas_enabled():
             from .pallas_kernels import sine_excitation
 
             # the kernel gates by f0>0 internally: idempotent with the vuv

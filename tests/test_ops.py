@@ -236,3 +236,19 @@ def test_signal_generator_contf0_mode():
 
     with _pytest.raises(ValueError):
         SignalGenerator(sine_f0_type="nope")
+
+
+def test_signal_generator_pallas_auto_mode():
+    """use_pallas=None auto-selects: off on the CPU test backend, explicit
+    settings respected; config factory threads the knob through."""
+    from svcc23_fastsvc_tpu.config import build_signal_generator
+
+    gen = SignalGenerator()
+    assert gen.use_pallas is None and gen._pallas_enabled() is False
+    assert SignalGenerator(use_pallas=True)._pallas_enabled() is True
+    sg = build_signal_generator({
+        "sampling_rate": 24000, "hop_size": 160,
+        "signal_generator": {"use_pallas": False, "sine_f0_type": "contf0"},
+    })
+    assert sg.use_pallas is False and sg.sine_f0_type == "contf0"
+    assert build_signal_generator({}).use_pallas is None
