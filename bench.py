@@ -272,7 +272,9 @@ def main():
     g_inf = fold_weight_norm(state.g_params)
     sb = 64
     sbatch = make_batch(jax.random.PRNGKey(2), sb, Tf, hop)
-    sine = task.signal_generator(sbatch["f0"], jax.random.PRNGKey(3))
+    # jit the excitation build: eager ops on the tunnel backend each pay a
+    # minutes-long remote compile
+    sine = jax.jit(task.signal_generator)(sbatch["f0"], jax.random.PRNGKey(3))
     syn_args = (g_inf, sbatch["ppg"], sine, sbatch["lft"], sbatch["spk_emb"])
 
     syn_flops = flops_of(jax.jit(task.generator.apply), *syn_args)

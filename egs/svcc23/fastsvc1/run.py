@@ -54,6 +54,9 @@ def main():
     p.add_argument("--tag", default="fastsvc")
     p.add_argument("--linguistic", default="logmel", choices=["logmel", "conformer"])
     p.add_argument("--ppg-checkpoint", default=None)
+    p.add_argument("--xvector-checkpoint", default=None,
+                   help="SpeechBrain embedding_model.ckpt; stage 0 extracts "
+                        "real x-vectors instead of hash embeddings")
     p.add_argument("--speakers", nargs="*", default=None)
     p.add_argument("--n-procs", type=int, default=1,
                    help="multi-host: total launcher processes")
@@ -74,8 +77,13 @@ def main():
         return os.path.join(args.dumpdir, f"{split}{'_norm' if norm else ''}")
 
     if args.stage <= 0 <= args.stop_stage and main_proc:
-        sh("extract_spk_embs", "--wav-scp", train_scp, "--out-file", spk_embs,
-           "--mode", "hash")
+        if args.xvector_checkpoint:  # production path (reference stage 0)
+            sh("extract_spk_embs", "--wav-scp", train_scp,
+               "--out-file", spk_embs, "--mode", "xvector",
+               "--checkpoint", args.xvector_checkpoint)
+        else:  # self-contained fallback without pretrained weights
+            sh("extract_spk_embs", "--wav-scp", train_scp,
+               "--out-file", spk_embs, "--mode", "hash")
 
     if args.stage <= 1 <= args.stop_stage:
         for split, scp in (("train", train_scp), ("dev", dev_scp)):

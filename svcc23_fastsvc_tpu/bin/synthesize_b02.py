@@ -54,6 +54,8 @@ def synthesize_b02(dumpdir: str, outdir: str, *, config: dict, params,
         sine_amp=sg_cfg.get("sine_amp", 0.1),
         noise_amp=sg_cfg.get("noise_amp", 0.003),
         signal_types=tuple(sg_cfg.get("signal_types", ["sine", "noise"])),
+        sine_f0_type=sg_cfg.get("sine_f0_type", "f0"),
+        use_pallas=sg_cfg.get("use_pallas", None),
     )
     acw = config.get("aux_context_window", model.aux_context_window)
     ds = USFGANDataset(

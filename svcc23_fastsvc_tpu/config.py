@@ -128,8 +128,20 @@ def build_signal_generator(cfg: dict):
 
 
 def build_train_task(cfg: dict):
+    import jax.numpy as jnp
+
     from .losses import MultiResolutionSTFTLoss
     from .train import FastSVCTrainTask, make_optimizer
+
+    # mixed precision: conv/matmul compute dtype (params, optimizer state
+    # and losses stay f32; see FastSVCTrainTask._cast)
+    dtype_name = cfg.get("compute_dtype")
+    if dtype_name in (None, "float32", "f32"):
+        compute_dtype = None
+    elif dtype_name in ("bfloat16", "bf16"):
+        compute_dtype = jnp.bfloat16
+    else:
+        raise KeyError(f"unknown compute_dtype {dtype_name!r}")
 
     stft = cfg.get("stft_loss_params", DEFAULTS["stft_loss_params"])
     g_opt = cfg.get("generator_optimizer_params", {})
@@ -163,4 +175,5 @@ def build_train_task(cfg: dict):
         lambda_adv=cfg.get("lambda_adv", 2.5),
         lambda_aux=cfg.get("lambda_aux", 1.0),
         use_stft_loss=cfg.get("use_stft_loss", True),
+        compute_dtype=compute_dtype,
     )

@@ -47,6 +47,11 @@ def _stub(name, **attrs):
     if name in sys.modules:
         return sys.modules[name]
     mod = types.ModuleType(name)
+    # a real ModuleSpec so importlib.util.find_spec on the stub (e.g.
+    # transformers' is_librosa_available check) doesn't raise
+    import importlib.machinery
+
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod

@@ -279,3 +279,24 @@ def test_intermediate_dump_writes_wavs_and_pngs(tmp_path):
     assert "0_gen.wav" in files and "0_ref.wav" in files
     assert "0.png" in files
     assert (pred / "0.png").stat().st_size > 1000
+
+
+def test_config_compute_dtype_wiring():
+    from svcc23_fastsvc_tpu.config import build_train_task
+
+    base = {
+        "generator_params": {"in_channels": 8, "mid_channels": [8, 8],
+                             "upsampling_scales": [4, 5],
+                             "spk_emb_size": 12, "use_spk_emb": True},
+        "discriminator_params": {"scales": 2, "channels": 4,
+                                 "max_downsample_channels": 16,
+                                 "downsample_scales": [4, 4]},
+        "sampling_rate": 4000, "hop_size": 20,
+    }
+    assert build_train_task(base).compute_dtype is None
+    assert build_train_task({**base, "compute_dtype": "bfloat16"}
+                            ).compute_dtype == jnp.bfloat16
+    assert build_train_task({**base, "compute_dtype": "float32"}
+                            ).compute_dtype is None
+    with pytest.raises(KeyError):
+        build_train_task({**base, "compute_dtype": "fp8"})
