@@ -75,7 +75,10 @@ class Trainer:
 
         self.task = task
         self.state = state
-        self.train_iter = PrefetchIterator(train_batcher, depth=2)
+        # prefetch at least one full steps_per_call dispatch ahead so the
+        # host batch assembly overlaps the device scan
+        depth = max(2, 2 * int(config.get("steps_per_call", 1)))
+        self.train_iter = PrefetchIterator(train_batcher, depth=depth)
         self.dev_batcher = dev_batcher
         self.config = config
         self.outdir = outdir
