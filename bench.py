@@ -166,8 +166,11 @@ def make_synth_scan(apply_fn, K):
 
     def fn(params, ppg, sine, lft, emb):
         def body(c, _):
-            out = apply_fn(params, ppg + c * 1e-12, sine, lft, emb)
-            return jnp.mean(out), None
+            # cast the perturbation to ppg's dtype so a bf16 input is not
+            # promoted back to f32 (which would silently un-bf16 the net)
+            out = apply_fn(params, ppg + (c * 1e-12).astype(ppg.dtype),
+                           sine, lft, emb)
+            return jnp.mean(out).astype(jnp.float32), None
 
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
         return c
@@ -283,6 +286,19 @@ def main():
     syn_tput = (sb * Tf * hop / sr) / syn_t
     syn_mfu = check_physics("synthesis_f32", syn_flops, syn_t, peak)
 
+    # bf16 synthesis (decode --infer-dtype bf16, the recipe default via
+    # compute_dtype: bfloat16): params + inputs cast to bf16, f32 output
+    syn16_args = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        syn_args,
+    )
+    apply16 = lambda *a: task.generator.apply(*a).astype(jnp.float32)  # noqa: E731
+    syn16_flops = flops_of(jax.jit(apply16), *syn16_args)
+    syn16_t = time_synth(apply16, syn16_args,
+                         k1=args.k1, k2=args.k2, reps=args.reps)
+    syn16_tput = (sb * Tf * hop / sr) / syn16_t
+    syn16_mfu = check_physics("synthesis_bf16", syn16_flops, syn16_t, peak)
+
     if args.trace_dir:
         jax.profiler.stop_trace()
 
@@ -300,6 +316,10 @@ def main():
         "bf16_mfu": round(train16_mfu, 4) if train16_mfu is not None else None,
         "synthesis_audio_s_per_s_per_chip": round(syn_tput, 1),
         "synthesis_mfu": round(syn_mfu, 4) if syn_mfu is not None else None,
+        "bf16_synthesis_audio_s_per_s_per_chip": round(syn16_tput, 1),
+        "bf16_synthesis_mfu": (
+            round(syn16_mfu, 4) if syn16_mfu is not None else None
+        ),
         "batch": B,
         "compile_s": round(gan_compile, 1),
         "device": device_kind,

@@ -23,7 +23,12 @@ import yaml
 import jax
 import jax.numpy as jnp
 
-from ..config import build_generator, build_signal_generator, load_config
+from ..config import (
+    build_generator,
+    build_signal_generator,
+    load_config,
+    parse_compute_dtype,
+)
 from ..data.dataset import FastSVCDataset
 from ..data.hdf5 import read_hdf5
 from ..dsp.f0 import F0Statistics
@@ -49,11 +54,18 @@ def decode(
     config_path: str = None,
     pad_multiple: int = 100,
     batch_size: int = 16,
+    infer_dtype: str = None,
 ):
     cfg_path = config_path or os.path.join(checkpoint_dir, "config.yml")
     cfg = load_config(cfg_path)
     sr = cfg["sampling_rate"]
     hop = cfg["hop_size"]
+    # synthesis compute dtype: explicit infer_dtype key/flag, else the
+    # training compute_dtype (recipe default bfloat16), else f32. Output
+    # audio is always cast back to f32 before the PCM16 write.
+    idt = parse_compute_dtype(
+        infer_dtype or cfg.get("infer_dtype", cfg.get("compute_dtype"))
+    )
 
     model = build_generator(cfg)
     sig_gen = build_signal_generator(cfg)
@@ -70,9 +82,21 @@ def decode(
     stats = F0Statistics()
     speakers = convert_to_speakers or cfg.get("convert_to_speakers", [])
 
-    fwd = jax.jit(
-        lambda p, ppg, sine, lft, emb: model.apply(p, ppg, sine, lft, emb)
-    )
+    if idt is not None:
+        cast = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: x.astype(idt) if x.dtype == jnp.float32 else x, t
+        )
+        params = cast(params)
+        fwd = jax.jit(
+            lambda p, ppg, sine, lft, emb: model.apply(
+                p, *cast((ppg, sine, lft, emb))
+            ).astype(jnp.float32)
+        )
+        logging.info("synthesis compute dtype: %s", jnp.dtype(idt).name)
+    else:
+        fwd = jax.jit(
+            lambda p, ppg, sine, lft, emb: model.apply(p, ppg, sine, lft, emb)
+        )
 
     os.makedirs(outdir, exist_ok=True)
     total_audio_s, total_wall = 0.0, 0.0
@@ -142,6 +166,10 @@ def main(argv=None):
     parser.add_argument("--spk-emb-file", required=True)
     parser.add_argument("--speakers", nargs="*", default=None)
     parser.add_argument("--config", default=None)
+    parser.add_argument("--infer-dtype", default=None,
+                        choices=[None, "f32", "float32", "bf16", "bfloat16"],
+                        help="synthesis compute dtype (default: the config's "
+                             "infer_dtype, else its compute_dtype, else f32)")
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args(argv)
     setup_logging(args.verbose)
@@ -149,6 +177,7 @@ def main(argv=None):
         args.dumpdir, args.checkpoint_dir, args.outdir,
         f0_stats_dir=args.f0_stats_dir, spk_emb_file=args.spk_emb_file,
         convert_to_speakers=args.speakers, config_path=args.config,
+        infer_dtype=args.infer_dtype,
     )
 
 

@@ -127,21 +127,24 @@ def build_signal_generator(cfg: dict):
     )
 
 
-def build_train_task(cfg: dict):
+def parse_compute_dtype(dtype_name):
+    """'bfloat16'/'bf16' -> jnp.bfloat16; None/'float32'/'f32' -> None."""
     import jax.numpy as jnp
 
+    if dtype_name in (None, "float32", "f32"):
+        return None
+    if dtype_name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise KeyError(f"unknown compute_dtype {dtype_name!r}")
+
+
+def build_train_task(cfg: dict):
     from .losses import MultiResolutionSTFTLoss
     from .train import FastSVCTrainTask, make_optimizer
 
     # mixed precision: conv/matmul compute dtype (params, optimizer state
     # and losses stay f32; see FastSVCTrainTask._cast)
-    dtype_name = cfg.get("compute_dtype")
-    if dtype_name in (None, "float32", "f32"):
-        compute_dtype = None
-    elif dtype_name in ("bfloat16", "bf16"):
-        compute_dtype = jnp.bfloat16
-    else:
-        raise KeyError(f"unknown compute_dtype {dtype_name!r}")
+    compute_dtype = parse_compute_dtype(cfg.get("compute_dtype"))
 
     stft = cfg.get("stft_loss_params", DEFAULTS["stft_loss_params"])
     g_opt = cfg.get("generator_optimizer_params", {})

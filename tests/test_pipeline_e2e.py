@@ -180,3 +180,38 @@ def test_stage5_decode(workdir):
     assert sr == SR and len(audio) > SR  # ~1.2 s
     assert np.isfinite(audio).all()
     assert rtf > 0
+
+
+def test_stage5_decode_bf16(workdir):
+    """bf16 synthesis (decode --infer-dtype bf16) produces audio at the same
+    scale as the f32 decode of the same checkpoint.
+
+    The tight spectral bf16-vs-f32 bound lives at model level
+    (tests/test_train_step.py::test_bf16_inference_spectral_parity) where
+    PCM16 quantization and the near-silent 4-step-checkpoint output don't
+    dominate the comparison.
+    """
+    from svcc23_fastsvc_tpu.bin.common import read_wav
+    from svcc23_fastsvc_tpu.bin.decode_fastsvc import decode
+
+    decode(
+        str(workdir / "dump_norm"),
+        str(workdir / "exp"),
+        str(workdir / "decoded_bf16"),
+        f0_stats_dir=str(workdir / "f0_stats"),
+        spk_emb_file=str(workdir / "spk_embs.h5"),
+        convert_to_speakers=["spkB"],
+        infer_dtype="bf16",
+    )
+    outs = sorted(os.listdir(workdir / "decoded_bf16"))
+    assert outs == sorted(os.listdir(workdir / "decoded"))
+    for name in outs:
+        a16, _ = read_wav(str(workdir / "decoded_bf16" / name))
+        a32, _ = read_wav(str(workdir / "decoded" / name))
+        assert np.isfinite(a16).all()
+        assert len(a16) == len(a32)
+        rms16 = float(np.sqrt(np.mean(a16**2)))
+        rms32 = float(np.sqrt(np.mean(a32**2)))
+        assert rms16 < 3.0 * rms32 + 1e-4 and rms32 < 3.0 * rms16 + 1e-4, (
+            rms16, rms32,
+        )

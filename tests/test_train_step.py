@@ -241,6 +241,41 @@ def test_bf16_compute_parity_and_convergence():
         assert np.isfinite(float(metrics[k])), k
 
 
+def test_bf16_inference_spectral_parity():
+    """bf16 synthesis (decode --infer-dtype bf16): casting folded params +
+    inputs to bf16 yields output spectrally close to the f32 forward —
+    the guarantee behind bfloat16 being the decode default."""
+    from svcc23_fastsvc_tpu.ops import fold_weight_norm
+    from svcc23_fastsvc_tpu.ops.stft import stft_magnitude
+
+    model = FastSVCGenerator(
+        in_channels=16, mid_channels=(32, 16), upsampling_scales=(4, 5),
+        spk_emb_size=12, use_spk_emb=True,
+    )
+    params = fold_weight_norm(model.init(jax.random.PRNGKey(0)))
+    B, Tf, hop = 2, 20, 20
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    sg = SignalGenerator(sample_rate=4000, hop_size=hop, noise_amp=0.0)
+    args = (
+        jax.random.normal(ks[0], (B, Tf, 16)),
+        sg(jnp.full((B, Tf, 1), 220.0), ks[1]),
+        jax.random.normal(ks[2], (B, Tf * hop, 1)) * 0.1,
+        jax.random.normal(ks[3], (B, 12)),
+    )
+    y32 = model.apply(params, *args)
+
+    cast = lambda t: jax.tree.map(  # noqa: E731
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
+    )
+    y16 = model.apply(cast(params), *cast(args)).astype(jnp.float32)
+    assert np.isfinite(np.asarray(y16)).all()
+
+    m32 = stft_magnitude(y32[..., 0], 64, 16, 64)
+    m16 = stft_magnitude(y16[..., 0], 64, 16, 64)
+    sc = float(jnp.linalg.norm(m16 - m32) / jnp.linalg.norm(m32))
+    assert sc < 0.15, sc
+
+
 def test_intermediate_dump_writes_wavs_and_pngs(tmp_path):
     """Eval-time listening artifacts: wav pairs + waveform/spectrogram PNGs
     (reference train_fastsvc.py:353-403)."""
