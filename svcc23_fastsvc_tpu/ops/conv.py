@@ -18,6 +18,30 @@ import jax
 import jax.numpy as jnp
 
 
+# Below this channel count, 1-D convs are lowered as a shifted-slice einsum
+# instead of lax.conv: XLA's conv path measured 5.5-8.3 TFLOP/s bf16 on the
+# generator's hot C=24 x T=24000 dilated shapes on a v5e, while the explicit
+# tap-stack einsum hit 13.4-16.9 (tools/bench_conv_variants.py). At C>=48
+# the conv path wins (22-28 TFLOP/s), so the dispatch is shape-based.
+_EINSUM_LOWERING_MAX_CHANNELS = 32
+
+
+def _conv1d_taps_einsum(x, weight, pad_lo, pad_hi, dilation):
+    """Stride-1 ungrouped conv as K shifted slices + one (K*C_in) matmul.
+
+    Same cross-correlation semantics as lax.conv_general_dilated; the slice
+    adjoints are pad+add, so the backward stays matmul-shaped too.
+    """
+    K = weight.shape[0]
+    T = x.shape[1]
+    xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0)))
+    t_out = T + pad_lo + pad_hi - (K - 1) * dilation
+    taps = jnp.stack(
+        [xp[:, k * dilation : k * dilation + t_out] for k in range(K)], axis=2
+    )  # (B, T_out, K, C_in)
+    return jnp.einsum("btkc,kco->bto", taps, weight)
+
+
 def conv1d(
     x,
     weight,
@@ -34,20 +58,29 @@ def conv1d(
     Matches torch.nn.Conv1d numerics for the same hyperparameters.
     """
     if padding == "VALID":
-        pad = ((0, 0),)
+        lo, hi = 0, 0
     elif isinstance(padding, int):
-        pad = ((padding, padding),)
+        lo, hi = padding, padding
     else:
-        pad = (tuple(padding),)
-    out = jax.lax.conv_general_dilated(
-        x,
-        weight,
-        window_strides=(stride,),
-        padding=pad,
-        rhs_dilation=(dilation,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=groups,
-    )
+        lo, hi = padding
+    K, in_pg, C_out = weight.shape
+    if (
+        stride == 1
+        and groups == 1
+        and 2 <= K <= 5
+        and max(in_pg, C_out) <= _EINSUM_LOWERING_MAX_CHANNELS
+    ):
+        out = _conv1d_taps_einsum(x, weight, lo, hi, dilation)
+    else:
+        out = jax.lax.conv_general_dilated(
+            x,
+            weight,
+            window_strides=(stride,),
+            padding=((lo, hi),),
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=groups,
+        )
     if bias is not None:
         out = out + bias
     return out
