@@ -45,6 +45,7 @@ setup(
             "svc-tpu-synthesize-b02=svcc23_fastsvc_tpu.bin.synthesize_b02:main",
             "svc-tpu-convert-checkpoint=svcc23_fastsvc_tpu.bin.convert_checkpoint:main",
             "svc-tpu-evaluate=svcc23_fastsvc_tpu.bin.evaluate:main",
+            "svc-tpu-split-train-dev=svcc23_fastsvc_tpu.bin.split_train_dev:main",
         ],
     },
 )

@@ -29,6 +29,15 @@ def nearest_resize(x, out_size: int, *, axis: int = 1):
     if out_size % in_size == 0:
         # Integer upsample: pure repeat — cheaper than gather on TPU.
         return jnp.repeat(x, out_size // in_size, axis=axis)
+    if in_size % out_size == 0:
+        # Integer downsample: src = floor(dst * s) = dst * s — a strided
+        # slice. Its adjoint is (interior) pad, where a gather's adjoint is
+        # a scatter — profiled at ~1.2 ms per instance in the generator's
+        # backward on (32, 24000, 48) before this fast path.
+        s = in_size // out_size
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(None, None, s)
+        return x[tuple(idx)]
     idx = jnp.asarray(_nearest_indices(in_size, out_size))
     return jnp.take(x, idx, axis=axis)
 

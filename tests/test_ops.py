@@ -55,6 +55,50 @@ def test_conv1d_matches_torch(stride, pad, dil, groups):
     np.testing.assert_allclose(np.asarray(got), _from_t(ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("K,stride,pad,groups,Cin,Cout,T", [
+    (41, 4, 20, 4, 16, 64, 240),    # MelGAN downsample layer shape family
+    (41, 4, 20, 16, 64, 256, 240),
+    (21, 2, 10, 4, 16, 64, 100),
+    (15, 4, 7, 1, 8, 16, 97),       # asymmetric alignment, ungrouped
+    (10, 5, 3, 1, 1, 12, 163),      # HuBERT-like first conv
+    (5, 4, 2, 1, 4, 8, 8),          # tiny T (fold fallback path)
+])
+def test_conv1d_stride_folded_matches_torch(K, stride, pad, groups, Cin, Cout, T):
+    """The stride-folded lowering (and its fallback) vs torch, incl. grads."""
+    B = 2
+    x = RNG.standard_normal((B, T, Cin)).astype(np.float32)
+    w = RNG.standard_normal((Cout, Cin // groups, K)).astype(np.float32) * 0.2
+    b = RNG.standard_normal((Cout,)).astype(np.float32)
+
+    ref = F.conv1d(_t(x), torch.from_numpy(w), torch.from_numpy(b),
+                   stride=stride, padding=pad, groups=groups)
+    wj = jnp.asarray(w.transpose(2, 1, 0))
+    got = conv1d(jnp.asarray(x), wj, jnp.asarray(b), stride=stride,
+                 padding=pad, groups=groups)
+    np.testing.assert_allclose(np.asarray(got), _from_t(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # gradient path: folded pad/reshape/transpose adjoints vs direct conv
+    def loss_folded(w_, x_):
+        return jnp.sum(jnp.tanh(conv1d(x_, w_, None, stride=stride,
+                                       padding=pad, groups=groups)))
+
+    def loss_lax(w_, x_):
+        out = jax.lax.conv_general_dilated(
+            x_, w_, (stride,), ((pad, pad),),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=groups)
+        return jnp.sum(jnp.tanh(out))
+
+    xj = jnp.asarray(x)
+    gw1, gx1 = jax.grad(loss_lax, argnums=(0, 1))(wj, xj)
+    gw2, gx2 = jax.grad(loss_folded, argnums=(0, 1))(wj, xj)
+    np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1),
+                               rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("in_size,factor", [(10, 2), (10, 4), (10, 5), (7, 3)])
 def test_nearest_upsample_matches_torch(in_size, factor):
     x = RNG.standard_normal((2, in_size, 3)).astype(np.float32)
