@@ -269,9 +269,13 @@ def main():
     train16_tput = audio_s_per_batch / step16_t
     train16_mfu = check_physics("gan_step_bf16", bf16_flops, step16_t, peak)
 
-    # Synthesis throughput: folded-weight generator forward, large batch.
+    # Synthesis throughput: folded-weight generator forward, large batch,
+    # inference-only FiLM fusion (as decode runs it).
+    import dataclasses
+
     from svcc23_fastsvc_tpu.ops import fold_weight_norm
 
+    generator = dataclasses.replace(task.generator, fuse_film=True)
     g_inf = fold_weight_norm(state.g_params)
     sb = 64
     sbatch = make_batch(jax.random.PRNGKey(2), sb, Tf, hop)
@@ -280,8 +284,8 @@ def main():
     sine = jax.jit(task.signal_generator)(sbatch["f0"], jax.random.PRNGKey(3))
     syn_args = (g_inf, sbatch["ppg"], sine, sbatch["lft"], sbatch["spk_emb"])
 
-    syn_flops = flops_of(jax.jit(task.generator.apply), *syn_args)
-    syn_t = time_synth(task.generator.apply, syn_args,
+    syn_flops = flops_of(jax.jit(generator.apply), *syn_args)
+    syn_t = time_synth(generator.apply, syn_args,
                        k1=args.k1, k2=args.k2, reps=args.reps)
     syn_tput = (sb * Tf * hop / sr) / syn_t
     syn_mfu = check_physics("synthesis_f32", syn_flops, syn_t, peak)
@@ -292,7 +296,7 @@ def main():
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         syn_args,
     )
-    apply16 = lambda *a: task.generator.apply(*a).astype(jnp.float32)  # noqa: E731
+    apply16 = lambda *a: generator.apply(*a).astype(jnp.float32)  # noqa: E731
     syn16_flops = flops_of(jax.jit(apply16), *syn16_args)
     syn16_t = time_synth(apply16, syn16_args,
                          k1=args.k1, k2=args.k2, reps=args.reps)

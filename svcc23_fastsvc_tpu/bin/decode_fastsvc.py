@@ -67,7 +67,10 @@ def decode(
         infer_dtype or cfg.get("infer_dtype", cfg.get("compute_dtype"))
     )
 
-    model = build_generator(cfg)
+    import dataclasses
+
+    # inference-only FiLM fusion (models/fastsvc.py FastSVCGenerator.fuse_film)
+    model = dataclasses.replace(build_generator(cfg), fuse_film=True)
     sig_gen = build_signal_generator(cfg)
     # restore generator params from the train-state checkpoint
     from ..config import build_train_task

@@ -28,7 +28,7 @@ def nearest_resize(x, out_size: int, *, axis: int = 1):
         return x
     if out_size % in_size == 0:
         # Integer upsample: pure repeat — cheaper than gather on TPU.
-        return jnp.repeat(x, out_size // in_size, axis=axis)
+        return nearest_upsample(x, out_size // in_size, axis=axis)
     if in_size % out_size == 0:
         # Integer downsample: src = floor(dst * s) = dst * s — a strided
         # slice. Its adjoint is (interior) pad, where a gather's adjoint is
@@ -43,8 +43,20 @@ def nearest_resize(x, out_size: int, *, axis: int = 1):
 
 
 def nearest_upsample(x, scale: int, *, axis: int = 1):
-    """Stretch2d(scale, 1) semantics: nearest upsample by an integer factor."""
-    return jnp.repeat(x, scale, axis=axis)
+    """Stretch2d(scale, 1) semantics: nearest upsample by an integer factor.
+
+    Implemented as expand-broadcast-reshape rather than jnp.repeat: repeat
+    lowers through a gather whose autodiff transpose is a scatter (~1 ms
+    per instance on the generator's (32, 12000, C) tensors); the broadcast
+    form transposes to a reshape + sum over the repeat axis.
+    """
+    if scale == 1:
+        return x
+    shape = list(x.shape)
+    xe = jnp.expand_dims(x, axis + 1)
+    bshape = shape[: axis + 1] + [scale] + shape[axis + 1 :]
+    out_shape = shape[:axis] + [shape[axis] * scale] + shape[axis + 1 :]
+    return jnp.broadcast_to(xe, bshape).reshape(out_shape)
 
 
 def nearest_downsample(x, scale, *, axis: int = 1):

@@ -135,6 +135,31 @@ def test_generator_fold_weight_norm_matches():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
 
 
+def test_generator_fused_film_matches_unfused():
+    """fuse_film=True (inference FiLM fusion) == the per-signal conv path;
+    the fusion only reassociates the scale/shift sums."""
+    import dataclasses
+
+    import jax
+
+    model = FastSVCGenerator(
+        in_channels=8, mid_channels=(16, 8), upsampling_scales=(4, 5),
+        spk_emb_size=12, use_spk_emb=True,
+    )
+    params = model.init(jax.random.PRNGKey(3))
+    ppg = jnp.asarray(RNG.standard_normal((2, 10, 8)), jnp.float32)
+    sine = jnp.asarray(RNG.standard_normal((2, 200, 1)), jnp.float32)
+    lft = jnp.asarray(RNG.standard_normal((2, 200, 1)), jnp.float32)
+    emb = jnp.asarray(RNG.standard_normal((2, 12)), jnp.float32)
+
+    plain = model.apply(params, ppg, sine, lft, emb)
+    fused = dataclasses.replace(model, fuse_film=True).apply(
+        params, ppg, sine, lft, emb
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_melgan_msd_parity():
     from harana.models.fastsvc import (
         MelGANMultiScaleDiscriminator as RefMSD,
