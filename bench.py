@@ -160,16 +160,15 @@ def time_train(step_fn, state, batch, *, k1=10, k2=60, reps=3):
 
 
 def make_synth_scan(apply_fn, K):
-    """K generator forwards; the carry perturbs the input by ~1e-12 x the
-    previous output's mean so iterations are sequentially dependent (no
+    """K forward passes; the carry perturbs the second argument by ~1e-12 x
+    the previous output's mean so iterations are sequentially dependent (no
     loop-invariant hoisting), while the numerics stay unchanged."""
 
-    def fn(params, ppg, sine, lft, emb):
+    def fn(params, x, *rest):
         def body(c, _):
-            # cast the perturbation to ppg's dtype so a bf16 input is not
+            # cast the perturbation to x's dtype so a bf16 input is not
             # promoted back to f32 (which would silently un-bf16 the net)
-            out = apply_fn(params, ppg + (c * 1e-12).astype(ppg.dtype),
-                           sine, lft, emb)
+            out = apply_fn(params, x + (c * 1e-12).astype(x.dtype), *rest)
             return jnp.mean(out).astype(jnp.float32), None
 
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
@@ -303,6 +302,47 @@ def main():
     syn16_tput = (sb * Tf * hop / sr) / syn16_t
     syn16_mfu = check_physics("synthesis_bf16", syn16_flops, syn16_t, peak)
 
+    # B02 vocoder (HN-uSFGAN) synthesis throughput — the other recipe's
+    # RTF surface (reference synthesize_b02.py:149-175). Default full
+    # config (20 harmonic + 5 noise + 30 filter blocks), bf16, batch 8 x 1 s.
+    from svcc23_fastsvc_tpu.dsp.f0 import dilated_factor
+    from svcc23_fastsvc_tpu.models.hnusfgan import HNUSFGANGenerator
+    from svcc23_fastsvc_tpu.ops.signal_gen import SignalGenerator as SG
+
+    voc = HNUSFGANGenerator(upsample_scales=(5, 4, 4, 2))
+    voc_hop = 160
+    vb, vTf = 8, sr // voc_hop
+    voc_p = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        fold_weight_norm(voc.init(jax.random.PRNGKey(4))),
+    )
+    f0v = np.full((vb, vTf, 1), 220.0, np.float32)
+    voc_sg = SG(sample_rate=sr, hop_size=voc_hop,
+                signal_types=("sine", "noise"))
+    sine2 = jax.jit(voc_sg)(jnp.asarray(f0v), jax.random.PRNGKey(5))
+    acw = voc.aux_context_window
+    aux = jax.random.normal(
+        jax.random.PRNGKey(6), (vb, vTf + 2 * acw, voc.aux_channels)
+    ).astype(jnp.bfloat16)
+    df = jnp.asarray(np.stack([
+        dilated_factor(f0v[i, :, 0].copy(), sr, 4) for i in range(vb)
+    ]), jnp.float32)
+    # dilated_factor returns frame-rate values upsampled to samples inside
+    # the dataset; replicate that contract here if needed
+    if df.shape[1] != vTf * voc_hop:
+        df = jnp.repeat(df, vTf * voc_hop // df.shape[1], axis=1)
+
+    def voc_fwd(params, x, c, d):
+        y, _ = voc.apply(params, x, c, d)
+        return y.astype(jnp.float32)
+
+    voc_args = (voc_p, sine2.astype(jnp.bfloat16), aux, df)
+    voc_flops = flops_of(jax.jit(voc_fwd), *voc_args)
+    voc_t = time_synth(voc_fwd, voc_args, k1=max(2, args.k1 // 5),
+                       k2=max(6, args.k2 // 5), reps=args.reps)
+    voc_tput = (vb * vTf * voc_hop / sr) / voc_t
+    voc_mfu = check_physics("b02_vocoder_bf16", voc_flops, voc_t, peak)
+
     if args.trace_dir:
         jax.profiler.stop_trace()
 
@@ -324,6 +364,8 @@ def main():
         "bf16_synthesis_mfu": (
             round(syn16_mfu, 4) if syn16_mfu is not None else None
         ),
+        "b02_vocoder_bf16_audio_s_per_s_per_chip": round(voc_tput, 1),
+        "b02_vocoder_mfu": round(voc_mfu, 4) if voc_mfu is not None else None,
         "batch": B,
         "compile_s": round(gan_compile, 1),
         "device": device_kind,
