@@ -309,8 +309,9 @@ def main():
     from svcc23_fastsvc_tpu.models.hnusfgan import HNUSFGANGenerator
     from svcc23_fastsvc_tpu.ops.signal_gen import SignalGenerator as SG
 
-    voc = HNUSFGANGenerator(upsample_scales=(5, 4, 4, 2))
     voc_hop = 160
+    voc = HNUSFGANGenerator(upsample_scales=(5, 4, 4, 2),
+                            pd_frame_hop=voc_hop)
     vb, vTf = 8, sr // voc_hop
     voc_p = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,

@@ -41,6 +41,9 @@ def build_vocoder(cfg: dict) -> HNUSFGANGenerator:
             kw[k] = gp[k]
     if "upsample_params" in gp:
         kw["upsample_scales"] = tuple(gp["upsample_params"]["upsample_scales"])
+    # the pipeline's dilation factors are frame-constant (USFGANDataset
+    # repeats frame-rate df by hop) — enable the framewise slice gather
+    kw["pd_frame_hop"] = cfg.get("hop_size", 0)
     return HNUSFGANGenerator(**kw)
 
 

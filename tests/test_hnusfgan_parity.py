@@ -40,6 +40,36 @@ def test_pd_indexing_parity():
         )
 
 
+def test_pd_indexing_framewise_matches():
+    """Framewise slice gather == per-sample gather for frame-constant d,
+    incl. sequence-boundary masking and large lags."""
+    from svcc23_fastsvc_tpu.models.hnusfgan import pd_indexing_framewise
+
+    rng = np.random.default_rng(0)
+    B, C, hop, F = 2, 3, 10, 12
+    T = hop * F
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    d_frame = rng.uniform(0.3, 9.7, (B, F))  # lags up to ~39 samples at dil 4
+    d = jnp.asarray(np.repeat(d_frame, hop, axis=1), jnp.float32)
+    from svcc23_fastsvc_tpu.models.hnusfgan import pd_indexing
+
+    for dilation in (1, 2, 4):
+        want = pd_indexing(x, d, dilation)
+        got = pd_indexing_framewise(x, d, dilation, hop)
+        for w, g, name in zip(want, got, ("past", "future")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=1e-6,
+                err_msg=f"{name} dil={dilation}",
+            )
+
+    # non-divisible T falls back to the exact per-sample path
+    xs = x[:, :-3]
+    ds = d[:, :-3]
+    want = pd_indexing(xs, ds, 2)
+    got = pd_indexing_framewise(xs, ds, 2, hop)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]))
+
+
 def _small_cfg():
     return dict(
         harmonic_network_params={
