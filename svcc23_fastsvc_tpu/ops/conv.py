@@ -32,14 +32,18 @@ def _conv1d_taps_einsum(x, weight, pad_lo, pad_hi, dilation):
     Same cross-correlation semantics as lax.conv_general_dilated; the slice
     adjoints are pad+add, so the backward stays matmul-shaped too.
     """
-    K = weight.shape[0]
+    K, C_in, C_out = weight.shape
     T = x.shape[1]
     xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0)))
     t_out = T + pad_lo + pad_hi - (K - 1) * dilation
-    taps = jnp.stack(
-        [xp[:, k * dilation : k * dilation + t_out] for k in range(K)], axis=2
-    )  # (B, T_out, K, C_in)
-    return jnp.einsum("btkc,kco->bto", taps, weight)
+    # concat on the channel axis (not a new tap axis): the operand stays a
+    # 3-D (B, T, K*C) tensor with one unambiguous K*C-lane layout — a
+    # (B, T, K, C) stack gave XLA a split minor pair it kept re-laying out
+    taps = jnp.concatenate(
+        [xp[:, k * dilation : k * dilation + t_out] for k in range(K)],
+        axis=-1,
+    )  # (B, T_out, K*C_in)
+    return taps @ weight.reshape(K * C_in, C_out)
 
 
 def _conv1d_stride_folded(x, weight, lo, hi, stride, groups):
