@@ -150,9 +150,14 @@ class DownsampleBlock:
         }
 
     def apply(self, p, x):
-        r = nearest_downsample(_conv(x, p["res_conv"]), self.scale)
-        h = nearest_downsample(x, self.scale)
-        h = _conv(leaky_relu(h), p["conv1"], padding=1, dilation=1)
+        # res_conv is 1x1 (pointwise), so it commutes exactly with the
+        # nearest-downsample sample selection; downsampling first lets the
+        # two paths share ONE gather (and its backward scatter-add — each
+        # profiled ~0.3/1.1 ms fwd/bwd at 24 kHz) and runs the res conv at
+        # the reduced rate. Reference order: fastsvc.py:185-190.
+        xd = nearest_downsample(x, self.scale)
+        r = _conv(xd, p["res_conv"])
+        h = _conv(leaky_relu(xd), p["conv1"], padding=1, dilation=1)
         h = _conv(leaky_relu(h), p["conv2"], padding=2, dilation=2)
         h = _conv(leaky_relu(h), p["conv3"], padding=4, dilation=4)
         return h + r

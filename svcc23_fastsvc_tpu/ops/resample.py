@@ -30,14 +30,20 @@ def nearest_resize(x, out_size: int, *, axis: int = 1):
         # Integer upsample: pure repeat — cheaper than gather on TPU.
         return nearest_upsample(x, out_size // in_size, axis=axis)
     if in_size % out_size == 0:
-        # Integer downsample: src = floor(dst * s) = dst * s — a strided
-        # slice. Its adjoint is (interior) pad, where a gather's adjoint is
-        # a scatter — profiled at ~1.2 ms per instance in the generator's
-        # backward on (32, 24000, 48) before this fast path.
+        # Integer downsample: src = floor(dst * s) = dst * s. Expressed as
+        # reshape + unit slice of the split (major) dim rather than a
+        # strided slice: XLA lowered the strided form to an explicit-index
+        # gather (scatter-add in the backward, ~1.1 ms per instance on
+        # (32, 24000, 48)); the reshape splits a non-minor dim (free) and
+        # the unit slice has a plain pad adjoint.
         s = in_size // out_size
-        idx = [slice(None)] * x.ndim
-        idx[axis] = slice(None, None, s)
-        return x[tuple(idx)]
+        shape = list(x.shape)
+        split = shape[:axis] + [out_size, s] + shape[axis + 1 :]
+        idx = [slice(None)] * (x.ndim + 1)
+        idx[axis + 1] = slice(0, 1)
+        return x.reshape(split)[tuple(idx)].reshape(
+            shape[:axis] + [out_size] + shape[axis + 1 :]
+        )
     idx = jnp.asarray(_nearest_indices(in_size, out_size))
     return jnp.take(x, idx, axis=axis)
 
