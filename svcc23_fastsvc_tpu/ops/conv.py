@@ -12,7 +12,9 @@ numerically comparable, but the implementation is JAX-native.
 
 from __future__ import annotations
 
+import functools as _functools
 import math
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -22,28 +24,125 @@ import jax.numpy as jnp
 # instead of lax.conv: XLA's conv path measured 5.5-8.3 TFLOP/s bf16 on the
 # generator's hot C=24 x T=24000 dilated shapes on a v5e, while the explicit
 # tap-stack einsum hit 13.4-16.9 (tools/bench_conv_variants.py). At C>=48
-# the conv path wins (22-28 TFLOP/s), so the dispatch is shape-based.
-_EINSUM_LOWERING_MAX_CHANNELS = 32
+# the conv path won (22-28 TFLOP/s) under XLA autodiff; with the custom
+# all-matmul VJP below that trade-off may have moved — the env override
+# exists for re-benchmarking the gate on hardware.
+_EINSUM_LOWERING_MAX_CHANNELS = int(
+    _os.environ.get("FASTSVC_EINSUM_MAX_CHANNELS", "32")
+)
 
 
-def _conv1d_taps_einsum(x, weight, pad_lo, pad_hi, dilation):
+def _build_taps(x, K, dilation, pad_lo, pad_hi, with_ones):
+    """(B, T, C) -> (B, T_out, K*C [+1]) shifted-slice tap operand.
+
+    Negative pads are legal and mean "slice off" instead of "zero-fill"
+    (needed by the transposed form in the backward).
+
+    Each tap column is padded individually instead of padding the whole
+    input once: a standalone full-tensor pad stays an unfused HLO pad op
+    (profiled at ~4 ms/step across the step's taps), while per-column pads
+    are producers the concat fusion absorbs.
+
+    concat on the channel axis (not a new tap axis): the operand stays a
+    3-D (B, T, K*C) tensor with one unambiguous K*C-lane layout — a
+    (B, T, K, C) stack gave XLA a split minor pair it kept re-laying out.
+    """
+    B, T = x.shape[0], x.shape[1]
+    t_out = T + pad_lo + pad_hi - (K - 1) * dilation
+    cols = []
+    for k in range(K):
+        start = k * dilation - pad_lo  # first input row of this column
+        stop = start + t_out
+        zeros_lo = max(0, -start)
+        zeros_hi = max(0, stop - T)
+        col = x[:, max(0, start) : min(T, stop)]
+        if zeros_lo or zeros_hi:
+            col = jnp.pad(col, ((0, 0), (zeros_lo, zeros_hi), (0, 0)))
+        cols.append(col)
+    if with_ones:
+        cols.append(jnp.ones((B, t_out, 1), x.dtype))
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _taps_conv_fwd(x, weight, bias, pad_lo, pad_hi, dilation):
+    K, C_in, C_out = weight.shape
+    # The bias rides along as one extra (ones-column, bias-row) rank: a
+    # separate `out + bias` leaves its adjoint as a standalone
+    # (B,T,C)->(C,) reduce_sum that XLA cannot fuse into the conv backward
+    # — profiled at ~12 ms/step across the training step, re-reading every
+    # gradient tensor at ~30 GiB/s. Folded into the matmul, the bias
+    # gradient falls out of the same MXU wgrad contraction for free
+    # (K*C_in+1 stays inside the same 128-lane tile).
+    taps = _build_taps(x, K, dilation, pad_lo, pad_hi, bias is not None)
+    w2 = weight.reshape(K * C_in, C_out)
+    if bias is not None:
+        w2 = jnp.concatenate([w2, bias[None, :].astype(w2.dtype)], axis=0)
+    return taps @ w2, (taps, weight)
+
+
+def _taps_conv_bwd(pad_lo, pad_hi, dilation, res, g):
+    taps, weight = res
+    K, C_in, C_out = weight.shape
+    has_bias = taps.shape[-1] == K * C_in + 1
+    # weight (+bias) grad: one contraction over (B, T) of the saved taps
+    # against the cotangent; the bias grad is the ones-column row.
+    dw2 = jnp.einsum("btk,bto->ko", taps, g)
+    dw = dw2[: K * C_in].reshape(K, C_in, C_out)
+    db = dw2[K * C_in] if has_bias else None
+    # input grad as the transposed conv, in the SAME taps-einsum form
+    # (XLA's autodiff instead emits matmul -> split -> K pad+adds, whose
+    # split/overlap-add fusions cost ~5 ms/step at the generator's sizes):
+    # dx[t] = sum_k g[t + lo - k*d] w[k]^T  ==  taps(g; flipped pads) @ w_rev.
+    g_taps = _build_taps(
+        g, K, dilation, (K - 1) * dilation - pad_lo, (K - 1) * dilation - pad_hi, False
+    )
+    w_rev = weight[::-1].transpose(0, 2, 1).reshape(K * C_out, C_in)
+    dx = g_taps @ w_rev
+    return dx, dw, db
+
+
+def _matmul_colsum(g):
+    """(..., C) -> (C,) sum over leading axes, lowered as an MXU dot.
+
+    The straightforward reduce_sum adjoint of a bias add is a standalone
+    (B,T,C)->(C,) reduction XLA executes at ~150-250 GiB/s; the dot form
+    reads the gradient through the matmul pipeline instead.
+    """
+    g2 = g.reshape(-1, g.shape[-1])
+    ones = jnp.ones((1, g2.shape[0]), g.dtype)
+    return (ones @ g2)[0]
+
+
+@jax.custom_vjp
+def _bias_add(out, bias):
+    return out + bias
+
+
+def _bias_add_fwd(out, bias):
+    return out + bias, None
+
+
+def _bias_add_bwd(_, g):
+    return g, _matmul_colsum(g)
+
+
+_bias_add.defvjp(_bias_add_fwd, _bias_add_bwd)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _conv1d_taps_einsum(x, weight, bias, pad_lo, pad_hi, dilation):
     """Stride-1 ungrouped conv as K shifted slices + one (K*C_in) matmul.
 
     Same cross-correlation semantics as lax.conv_general_dilated; the slice
-    adjoints are pad+add, so the backward stays matmul-shaped too.
+    adjoints are pad+add, so the backward stays matmul-shaped too. The
+    custom VJP keeps all three gradients in matmul form (see
+    `_taps_conv_bwd`).
     """
-    K, C_in, C_out = weight.shape
-    T = x.shape[1]
-    xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0)))
-    t_out = T + pad_lo + pad_hi - (K - 1) * dilation
-    # concat on the channel axis (not a new tap axis): the operand stays a
-    # 3-D (B, T, K*C) tensor with one unambiguous K*C-lane layout — a
-    # (B, T, K, C) stack gave XLA a split minor pair it kept re-laying out
-    taps = jnp.concatenate(
-        [xp[:, k * dilation : k * dilation + t_out] for k in range(K)],
-        axis=-1,
-    )  # (B, T_out, K*C_in)
-    return taps @ weight.reshape(K * C_in, C_out)
+    out, _ = _taps_conv_fwd(x, weight, bias, pad_lo, pad_hi, dilation)
+    return out
+
+
+_conv1d_taps_einsum.defvjp(_taps_conv_fwd, _taps_conv_bwd)
 
 
 def _conv1d_stride_folded(x, weight, lo, hi, stride, groups):
@@ -122,7 +221,7 @@ def conv1d(
         and 2 <= K <= 5
         and max(in_pg, C_out) <= _EINSUM_LOWERING_MAX_CHANNELS
     ):
-        out = _conv1d_taps_einsum(x, weight, lo, hi, dilation)
+        return _conv1d_taps_einsum(x, weight, bias, lo, hi, dilation)
     elif stride > 1 and dilation == 1 and K > stride and in_pg <= 32:
         out = _conv1d_stride_folded(x, weight, lo, hi, stride, groups)
     if out is None:
@@ -136,7 +235,7 @@ def conv1d(
             feature_group_count=groups,
         )
     if bias is not None:
-        out = out + bias
+        out = _bias_add(out, bias)
     return out
 
 
@@ -167,7 +266,7 @@ def conv2d(
         feature_group_count=groups,
     )
     if bias is not None:
-        out = out + bias
+        out = _bias_add(out, bias)
     return out
 
 
@@ -300,6 +399,33 @@ def leaky_relu(x, negative_slope: float = 0.2):
     return jnp.where(x >= 0, x, x * negative_slope)
 
 
+def _instance_norm_fwd(x, eps, axis):
+    mean = jnp.mean(x, axis=axis, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=axis, keepdims=True)
+    r = jax.lax.rsqrt(var + eps)
+    y = (x - mean) * r
+    return y, (y, r)
+
+
+def _instance_norm_bwd(eps, axis, res, g):
+    # Hand-derived whitening backward: two reductions of (g, g*y) that XLA
+    # fuses into ONE pass over the gradient, vs the ~4 separate mean/var
+    # chain reductions autodiff emits (profiled at ~2.4 ms/step).
+    y, r = res
+    n = y.shape[axis]
+    gsum = jnp.sum(g, axis=axis, keepdims=True)
+    gysum = jnp.sum(g * y, axis=axis, keepdims=True)
+    return ((r / n) * (n * g - gsum - y * gysum),)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _instance_norm(x, eps, axis):
+    return _instance_norm_fwd(x, eps, axis)[0]
+
+
+_instance_norm.defvjp(_instance_norm_fwd, _instance_norm_bwd)
+
+
 def instance_norm(x, *, eps: float = 1e-5, axis=1):
     """InstanceNorm without affine params over the time axis of (B, T, C).
 
@@ -307,9 +433,7 @@ def instance_norm(x, *, eps: float = 1e-5, axis=1):
     (reference fastsvc.py:76,138): per-(batch, channel) mean/var over time,
     biased variance, eps inside the sqrt.
     """
-    mean = jnp.mean(x, axis=axis, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=axis, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    return _instance_norm(x, eps, axis)
 
 
 def avg_pool1d(

@@ -133,10 +133,16 @@ class FastSVCTrainTask:
 
     def _dis_loss(self, d_params, y, y_hat):
         dp = self._cast(d_params)
-        p = self.discriminator.apply(dp, self._cast(y))
-        p_hat = self.discriminator.apply(dp, self._cast(y_hat))
-        p = jax.tree.map(lambda t: t.astype(jnp.float32), p)
-        p_hat = jax.tree.map(lambda t: t.astype(jnp.float32), p_hat)
+        # One (2B) pass over real|fake instead of two B passes: the waveform
+        # discriminators are batch-independent (convs/pools only), so the
+        # per-sample outputs are identical, while the backward contracts ONE
+        # weight grad over 2B instead of two + add (the profiled step had
+        # every discriminator wgrad fusion duplicated at ~64 GiB/s).
+        B = y.shape[0]
+        both = jnp.concatenate([self._cast(y), self._cast(y_hat)], axis=0)
+        p_both = self.discriminator.apply(dp, both)
+        p = jax.tree.map(lambda t: t[:B].astype(jnp.float32), p_both)
+        p_hat = jax.tree.map(lambda t: t[B:].astype(jnp.float32), p_both)
         real, fake = discriminator_adversarial_loss(
             p_hat, p, loss_type=self.adv_loss_type
         )
@@ -166,7 +172,7 @@ class FastSVCTrainTask:
 
     def gan_step(self, state: GANTrainState, batch) -> tuple:
         """Phase B: generator update with adversarial term + D update."""
-        rng, k_sine, k_sine2 = jax.random.split(state.rng, 3)
+        rng, k_sine = jax.random.split(state.rng)
         grads, metrics = jax.grad(
             lambda p: self._gen_loss(p, state.d_params, batch, k_sine, with_adv=True),
             has_aux=True,
@@ -176,11 +182,14 @@ class FastSVCTrainTask:
         )
         g_params = optax.apply_updates(state.g_params, updates)
 
-        # regenerate with the updated generator, grads stopped (ref :213-215);
-        # no gradient flows through this forward, so the inference-optimized
-        # variant is safe here
+        # regenerate with the updated generator, grads stopped (ref :213-215).
+        # The reference reuses the SAME input batch — including the sine
+        # excitation built once per batch in the collater — for both the G
+        # update and the regeneration, so the same k_sine is reused here.
+        # No gradient flows through this forward, so the inference-optimized
+        # variant is safe here.
         y_hat = jax.lax.stop_gradient(
-            self._forward(g_params, batch, k_sine2, inference=True)
+            self._forward(g_params, batch, k_sine, inference=True)
         )
         d_grads, d_metrics = jax.grad(
             lambda p: self._dis_loss(p, batch["audio"], y_hat), has_aux=True

@@ -296,3 +296,67 @@ def test_signal_generator_pallas_auto_mode():
     })
     assert sg.use_pallas is False and sg.sine_f0_type == "contf0"
     assert build_signal_generator({}).use_pallas is None
+
+
+@pytest.mark.parametrize("K,dil,pad,Cin,Cout,use_bias", [
+    (3, 1, 1, 24, 24, True),     # einsum taps path (custom VJP)
+    (3, 27, 27, 24, 24, True),   # max-dilation einsum path
+    (2, 1, (1, 0), 16, 24, True),
+    (3, 1, 4, 24, 16, True),     # lo > (K-1)*d: negative backward pad
+    (3, 1, 0, 24, 24, False),    # no-bias einsum path
+    (3, 3, 3, 48, 48, True),     # dense fallback path (_bias_add VJP)
+    (7, 1, 3, 64, 128, True),    # K outside einsum gate -> fallback
+])
+def test_conv1d_custom_vjp_grads_match_torch(K, dil, pad, Cin, Cout, use_bias):
+    """The einsum-path custom VJP (all-matmul backward with the bias folded
+    into the tap operand) and the dense path's matmul-form bias adjoint must
+    reproduce torch's conv1d gradients exactly."""
+    B, T = 2, 61
+    lo, hi = (pad, pad) if isinstance(pad, int) else pad
+    x = RNG.standard_normal((B, T, Cin)).astype(np.float32)
+    w = RNG.standard_normal((Cout, Cin, K)).astype(np.float32)
+    b = RNG.standard_normal((Cout,)).astype(np.float32) if use_bias else None
+
+    xt = _t(x).requires_grad_(True)
+    wt = torch.from_numpy(w).requires_grad_(True)
+    bt = torch.from_numpy(b).requires_grad_(True) if use_bias else None
+    ref = F.conv1d(F.pad(xt, (lo, hi)), wt, bt, dilation=dil)
+    g = RNG.standard_normal(tuple(ref.shape)).astype(np.float32)
+    ref.backward(torch.from_numpy(g))
+
+    wj = jnp.asarray(w.transpose(2, 1, 0))
+    bj = jnp.asarray(b) if use_bias else None
+    gj = jnp.asarray(np.moveaxis(g, 1, -1))
+
+    def loss(x_, w_, b_):
+        return jnp.sum(conv1d(x_, w_, b_, padding=(lo, hi), dilation=dil) * gj)
+
+    out = conv1d(jnp.asarray(x), wj, bj, padding=(lo, hi), dilation=dil)
+    np.testing.assert_allclose(np.asarray(out), _from_t(ref), rtol=1e-4, atol=5e-5)
+
+    argnums = (0, 1, 2) if use_bias else (0, 1)
+    grads = jax.grad(loss, argnums)(jnp.asarray(x), wj, bj)
+    np.testing.assert_allclose(
+        np.asarray(grads[0]), _from_t(xt.grad), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(grads[1]), wt.grad.numpy().transpose(2, 1, 0),
+        rtol=1e-4, atol=1e-4)
+    if use_bias:
+        np.testing.assert_allclose(
+            np.asarray(grads[2]), bt.grad.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_instance_norm_custom_vjp_grad_matches_torch():
+    """The hand-derived whitening backward must match torch InstanceNorm1d."""
+    B, T, C = 3, 41, 24
+    x = RNG.standard_normal((B, T, C)).astype(np.float32) * 1.7 + 0.3
+    g = RNG.standard_normal((B, T, C)).astype(np.float32)
+
+    xt = _t(x).requires_grad_(True)
+    ref = torch.nn.functional.instance_norm(xt, eps=1e-5)
+    ref.backward(_t(g))
+
+    gj = jnp.asarray(g)
+    grad = jax.grad(lambda x_: jnp.sum(instance_norm(x_) * gj))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(grad), _from_t(xt.grad),
+                               rtol=1e-4, atol=1e-5)
