@@ -112,20 +112,22 @@ class UpsampleBlock:
         """x: (B, T, C_in); sine/lft: FiLM (scale, shift) pairs at (B, T*s, C),
         or lft=None with sine holding the pre-summed pair (_film_pair)."""
         x = _conv(x, p["conv_first"], padding=1)
-        xr = _conv(nearest_upsample(x, self.scale), p["res_conv"], padding=1)
+        xu = nearest_upsample(x, self.scale)
+        xr = _conv(xu, p["res_conv"], padding=1)
 
-        h = leaky_relu(x)
-        h = nearest_upsample(h, self.scale)
-        h = leaky_relu(_conv(h, p["up_conv"], padding=1))
+        # leaky_relu commutes exactly with nearest upsampling (elementwise
+        # vs sample replication), so the activation fuses into up_conv's
+        # input instead of running at the pre-upsample rate then copying.
+        h = leaky_relu(_conv(xu, p["up_conv"], padding=1, input_leaky=0.2))
         h = self._affine(p, h, sine, lft, spk_emb)
-        h = _conv(leaky_relu(h), p["conv1"], padding=3, dilation=3)
+        h = _conv(h, p["conv1"], padding=3, dilation=3, input_leaky=0.2)
 
         x_ = h + xr
 
         h = self._affine(p, x_, sine, lft, spk_emb)
-        h = _conv(leaky_relu(h), p["conv2"], padding=9, dilation=9)
+        h = _conv(h, p["conv2"], padding=9, dilation=9, input_leaky=0.2)
         h = self._affine(p, h, sine, lft, spk_emb)
-        h = _conv(leaky_relu(h), p["conv3"], padding=27, dilation=27)
+        h = _conv(h, p["conv3"], padding=27, dilation=27, input_leaky=0.2)
         return h + x_
 
 
@@ -157,9 +159,9 @@ class DownsampleBlock:
         # the reduced rate. Reference order: fastsvc.py:185-190.
         xd = nearest_downsample(x, self.scale)
         r = _conv(xd, p["res_conv"])
-        h = _conv(leaky_relu(xd), p["conv1"], padding=1, dilation=1)
-        h = _conv(leaky_relu(h), p["conv2"], padding=2, dilation=2)
-        h = _conv(leaky_relu(h), p["conv3"], padding=4, dilation=4)
+        h = _conv(xd, p["conv1"], padding=1, dilation=1, input_leaky=0.2)
+        h = _conv(h, p["conv2"], padding=2, dilation=2, input_leaky=0.2)
+        h = _conv(h, p["conv3"], padding=4, dilation=4, input_leaky=0.2)
         return h + r
 
 

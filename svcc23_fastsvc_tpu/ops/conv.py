@@ -31,6 +31,33 @@ _EINSUM_LOWERING_MAX_CHANNELS = int(
     _os.environ.get("FASTSVC_EINSUM_MAX_CHANNELS", "32")
 )
 
+# Fused Pallas lowering for stride-1 "same" convs (ops/pallas_kernels
+# sibling module pallas_conv.py): "0" off, "1" on (interpret mode off-TPU,
+# for tests), "auto" = on when the default backend is a real TPU. The
+# mesh-DP loop forces "0" before tracing (GSPMD cannot partition the
+# custom call); single-chip train/decode/bench run it.
+_PALLAS_CONV_MODE = _os.environ.get("FASTSVC_PALLAS_CONV", "auto")
+_PALLAS_CONV_MAX_CHANNELS = 192
+
+
+def set_pallas_conv_mode(mode: str) -> None:
+    """Set the fused-conv lowering mode: "0", "1", or "auto"."""
+    if mode not in ("0", "1", "auto"):
+        raise ValueError(f"bad pallas conv mode: {mode!r}")
+    global _PALLAS_CONV_MODE
+    _PALLAS_CONV_MODE = mode
+
+
+def _pallas_conv_enabled() -> bool:
+    if _PALLAS_CONV_MODE == "0":
+        return False
+    if _PALLAS_CONV_MODE == "1":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
 
 def _build_taps(x, K, dilation, pad_lo, pad_hi, with_ones):
     """(B, T, C) -> (B, T_out, K*C [+1]) shifted-slice tap operand.
@@ -53,9 +80,15 @@ def _build_taps(x, K, dilation, pad_lo, pad_hi, with_ones):
     for k in range(K):
         start = k * dilation - pad_lo  # first input row of this column
         stop = start + t_out
-        zeros_lo = max(0, -start)
-        zeros_hi = max(0, stop - T)
-        col = x[:, max(0, start) : min(T, stop)]
+        # clamp both ends into [0, T]: windows can sit entirely outside the
+        # input for large dilation on short rows (all-zeros column then)
+        v0 = min(max(start, 0), T)
+        v1 = min(max(stop, 0), T)
+        if v1 <= v0:
+            cols.append(jnp.zeros((B, t_out, x.shape[2]), x.dtype))
+            continue
+        zeros_lo, zeros_hi = v0 - start, stop - v1
+        col = x[:, v0:v1]
         if zeros_lo or zeros_hi:
             col = jnp.pad(col, ((0, 0), (zeros_lo, zeros_hi), (0, 0)))
         cols.append(col)
@@ -198,11 +231,15 @@ def conv1d(
     padding=0,
     dilation: int = 1,
     groups: int = 1,
+    input_leaky=None,
 ):
     """1-D convolution on (B, T, C_in) with WIO weight (K, C_in/groups, C_out).
 
     `padding` is an int (symmetric zero pad), a (lo, hi) tuple, or "VALID".
     Matches torch.nn.Conv1d numerics for the same hyperparameters.
+    `input_leaky` applies leaky_relu(x, input_leaky) before the conv —
+    identical numerics to calling leaky_relu yourself, but the fused Pallas
+    lowering absorbs it so the pre-activation never materializes.
     """
     if padding == "VALID":
         lo, hi = 0, 0
@@ -211,6 +248,20 @@ def conv1d(
     else:
         lo, hi = padding
     K, in_pg, C_out = weight.shape
+    if (
+        _pallas_conv_enabled()
+        and max(in_pg, C_out) <= _PALLAS_CONV_MAX_CHANNELS
+    ):
+        from .pallas_conv import pallas_conv1d, pallas_conv1d_supported
+
+        if pallas_conv1d_supported(
+            x.shape, weight.shape, stride=stride, groups=groups,
+            lo=lo, hi=hi, dilation=dilation,
+        ):
+            return pallas_conv1d(x, weight, bias, lo, hi, dilation,
+                                 input_leaky)
+    if input_leaky is not None:
+        x = leaky_relu(x, input_leaky)
     out = None
     # NB: widening this to cover C_in 24 -> C_out 48 shapes was tried twice
     # (both tap-operand layouts) and regressed the training backward ~7%;

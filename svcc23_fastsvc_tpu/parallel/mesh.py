@@ -52,6 +52,11 @@ def jit_train_step_dp(step_fn, mesh: Mesh, *, axis_name: str = "data",
     State replicated, batch sharded on the leading axis; outputs replicated.
     XLA SPMD derives the gradient all-reduce from these shardings.
     """
+    from ..ops.conv import set_pallas_conv_mode
+
+    # The fused Pallas conv is a custom call GSPMD cannot partition along
+    # the sharded batch axis — force the XLA lowerings before tracing.
+    set_pallas_conv_mode("0")
     state_sh = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P(axis_name))
     kw = dict(donate_argnums=(0,)) if donate else {}
@@ -82,7 +87,9 @@ def jit_multi_step_dp(step_fn, mesh: Mesh, *, axis_name: str = "data",
     stacked (K, ...) and replicated.
     """
     from ..train.gan import make_multi_step
+    from ..ops.conv import set_pallas_conv_mode
 
+    set_pallas_conv_mode("0")  # see jit_train_step_dp
     state_sh = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P(None, axis_name))
     kw = dict(donate_argnums=(0,)) if donate else {}

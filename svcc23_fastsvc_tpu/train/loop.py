@@ -86,7 +86,12 @@ class Trainer:
         self.multihost = multihost and jax.process_count() > 1
         if mesh is not None:
             from ..parallel import jit_train_step_dp, replicate, shard_batch
+            from ..ops.conv import set_pallas_conv_mode
 
+            # The fused Pallas conv lowering is a custom call GSPMD cannot
+            # partition along the sharded batch axis; force the XLA
+            # lowerings before any mesh-sharded step traces.
+            set_pallas_conv_mode("0")
             self.state = replicate(self.state, mesh)
             self._gen_step = jit_train_step_dp(task.gen_step, mesh, donate=True)
             self._gan_step = jit_train_step_dp(task.gan_step, mesh, donate=True)

@@ -360,3 +360,33 @@ def test_instance_norm_custom_vjp_grad_matches_torch():
     grad = jax.grad(lambda x_: jnp.sum(instance_norm(x_) * gj))(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(grad), _from_t(xt.grad),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_conv1d_einsum_window_entirely_outside_input():
+    """Large dilation on a short row: tap windows can sit fully outside the
+    input; every clamped column must still come back as t_out zeros
+    (regression: negative python-slice stop used to wrap around)."""
+    B, T, C = 2, 20, 8
+    x = RNG.standard_normal((B, T, C)).astype(np.float32)
+    w = RNG.standard_normal((C, C, 3)).astype(np.float32)
+    b = RNG.standard_normal((C,)).astype(np.float32)
+    ref = F.conv1d(F.pad(_t(x), (27, 27)), torch.from_numpy(w),
+                   torch.from_numpy(b), dilation=27)
+    out = conv1d(jnp.asarray(x), jnp.asarray(w.transpose(2, 1, 0)),
+                 jnp.asarray(b), padding=27, dilation=27)
+    np.testing.assert_allclose(np.asarray(out), _from_t(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    g = RNG.standard_normal(tuple(ref.shape)).astype(np.float32)
+    gj = jnp.asarray(np.moveaxis(g, 1, -1))
+    grads = jax.grad(
+        lambda x_: jnp.sum(
+            conv1d(x_, jnp.asarray(w.transpose(2, 1, 0)), jnp.asarray(b),
+                   padding=27, dilation=27) * gj
+        )
+    )(jnp.asarray(x))
+    xt = _t(x).requires_grad_(True)
+    F.conv1d(F.pad(xt, (27, 27)), torch.from_numpy(w), torch.from_numpy(b),
+             dilation=27).backward(torch.from_numpy(g))
+    np.testing.assert_allclose(np.asarray(grads), _from_t(xt.grad),
+                               rtol=1e-4, atol=1e-4)
