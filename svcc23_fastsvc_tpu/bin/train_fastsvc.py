@@ -84,13 +84,28 @@ def main(argv=None):
     # disjoint per-host random streams (HostShardedBatcher convention)
     host_seed = args.seed + 1000 * jax.process_index()
     n_loader_threads = int(cfg.get("loader_threads", 1))
+    train_batcher = None
     if n_loader_threads > 1:
-        from ..data.prefetch import BatcherPool
+        # Preferred: the fully native producer loop (C++ RNG + assembly +
+        # ring queue, zero GIL); falls back to the Python thread pool when
+        # libbatch.so is unavailable or the config needs the loop path.
+        from ..data.native_batch import make_native_producer
 
-        train_batcher = BatcherPool(
-            make_batcher, n_threads=n_loader_threads, seed=host_seed
+        train_batcher = make_native_producer(
+            make_batcher(host_seed),
+            n_threads=n_loader_threads,
+            seed=host_seed,
+            hold=2 * max(1, int(cfg.get("steps_per_call", 1))),
         )
-    else:
+        if train_batcher is not None:
+            logging.info("native batch producer (%d threads)", n_loader_threads)
+        else:
+            from ..data.prefetch import BatcherPool
+
+            train_batcher = BatcherPool(
+                make_batcher, n_threads=n_loader_threads, seed=host_seed
+            )
+    if train_batcher is None:
         train_batcher = make_batcher(host_seed)
     dev_batcher = None
     if args.dev_dumpdir:

@@ -76,9 +76,15 @@ class Trainer:
         self.task = task
         self.state = state
         # prefetch at least one full steps_per_call dispatch ahead so the
-        # host batch assembly overlaps the device scan
-        depth = max(2, 2 * int(config.get("steps_per_call", 1)))
-        self.train_iter = PrefetchIterator(train_batcher, depth=depth)
+        # host batch assembly overlaps the device scan; a source that
+        # already prefetches (NativeBatchProducer's C++ ring) is used as-is
+        # — wrapping it would queue zero-copy slot views past their hold
+        # window.
+        if getattr(train_batcher, "is_prefetching", False):
+            self.train_iter = iter(train_batcher)
+        else:
+            depth = max(2, 2 * int(config.get("steps_per_call", 1)))
+            self.train_iter = PrefetchIterator(train_batcher, depth=depth)
         self.dev_batcher = dev_batcher
         self.config = config
         self.outdir = outdir

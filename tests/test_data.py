@@ -105,6 +105,140 @@ def test_validate_length():
     assert len(y0) == len(y1) == 10 * HOP
 
 
+def test_native_producer_windows_and_determinism(tmp_path):
+    """The C++ producer loop yields exact packed-store windows, its crop
+    stream is deterministic per seed (single worker), and spk_emb rides the
+    row gather."""
+    from svcc23_fastsvc_tpu.data.native_batch import (
+        NativeBatchProducer,
+        native_batch_available,
+    )
+
+    if not native_batch_available():
+        pytest.skip("libbatch.so not buildable here")
+    make_dump(tmp_path, n_utts=4, n_frames=64)
+    ds = FastSVCDataset(str(tmp_path))
+    base = FastSVCBatcher(ds, batch_size=4, batch_length=16 * HOP,
+                          hop_size=HOP, seed=0)
+    base._pack()
+    packed = base._packed
+
+    def mk(seed, collect=True):
+        return NativeBatchProducer(
+            packed, batch_size=4, frames=16, hop=HOP, use_spk_emb=True,
+            n_threads=1, seed=seed, collect_crops=collect,
+        )
+
+    prod = mk(seed=11)
+    crops_a = []
+    try:
+        for _ in range(6):
+            b = next(prod)
+            rows, starts = b["_rows"].copy(), b["_starts"].copy()
+            crops_a.append((rows, starts))
+            for i, (r, st) in enumerate(zip(rows, starts)):
+                assert 0 <= st <= packed["n_frames"][r] - 16
+                np.testing.assert_array_equal(
+                    b["audio"][i, :, 0],
+                    packed["audio"][r, st * HOP: (st + 16) * HOP],
+                )
+                np.testing.assert_array_equal(
+                    b["f0"][i, :, 0], packed["f0"][r, st: st + 16]
+                )
+                np.testing.assert_array_equal(
+                    b["ppg"][i], packed["ppg"][r, st: st + 16]
+                )
+                np.testing.assert_array_equal(
+                    b["lft"][i, :, 0],
+                    packed["lft"][r, st * HOP: (st + 16) * HOP],
+                )
+                np.testing.assert_array_equal(
+                    b["spk_emb"][i], packed["spk_emb"][r]
+                )
+    finally:
+        prod.close()
+
+    prod_b = mk(seed=11)
+    try:
+        for rows_a, starts_a in crops_a:
+            b = next(prod_b)
+            np.testing.assert_array_equal(b["_rows"], rows_a)
+            np.testing.assert_array_equal(b["_starts"], starts_a)
+    finally:
+        prod_b.close()
+
+    prod_c = mk(seed=12)
+    try:
+        b = next(prod_c)
+        assert not (
+            np.array_equal(b["_rows"], crops_a[0][0])
+            and np.array_equal(b["_starts"], crops_a[0][1])
+        )
+    finally:
+        prod_c.close()
+
+
+def test_native_producer_hold_window(tmp_path):
+    """Yielded views stay intact for `hold` further iterations (the
+    steps_per_call stacking contract in train/loop.py)."""
+    from svcc23_fastsvc_tpu.data.native_batch import (
+        NativeBatchProducer,
+        native_batch_available,
+    )
+
+    if not native_batch_available():
+        pytest.skip("libbatch.so not buildable here")
+    make_dump(tmp_path, n_utts=3, n_frames=64)
+    ds = FastSVCDataset(str(tmp_path))
+    base = FastSVCBatcher(ds, batch_size=2, batch_length=8 * HOP,
+                          hop_size=HOP, seed=0)
+    base._pack()
+    prod = NativeBatchProducer(
+        base._packed, batch_size=2, frames=8, hop=HOP, use_spk_emb=True,
+        n_threads=2, hold=4, seed=3,
+    )
+    try:
+        held = []
+        for _ in range(4):
+            b = next(prod)
+            held.append((b, {k: v.copy() for k, v in b.items()}))
+        # all four yielded views must still match their snapshot
+        for b, snap in held:
+            for k in snap:
+                np.testing.assert_array_equal(b[k], snap[k])
+    finally:
+        prod.close()
+
+
+def test_make_native_producer_gates(tmp_path):
+    """Factory declines acw>0 configs and matches the batcher geometry."""
+    from svcc23_fastsvc_tpu.data.native_batch import (
+        make_native_producer,
+        native_batch_available,
+    )
+
+    if not native_batch_available():
+        pytest.skip("libbatch.so not buildable here")
+    make_dump(tmp_path, n_utts=3, n_frames=64)
+    ds = FastSVCDataset(str(tmp_path))
+    b = FastSVCBatcher(ds, batch_size=3, batch_length=16 * HOP,
+                       hop_size=HOP, seed=0, aux_context_window=2)
+    assert make_native_producer(b) is None
+    b2 = FastSVCBatcher(ds, batch_size=3, batch_length=16 * HOP,
+                        hop_size=HOP, seed=0)
+    prod = make_native_producer(b2, n_threads=2, seed=5)
+    assert prod is not None
+    try:
+        ref = b2.sample_batch()
+        out = next(prod)
+        assert set(out) == set(ref)
+        for k in ref:
+            assert out[k].shape == ref[k].shape, k
+            assert out[k].dtype == ref[k].dtype, k
+    finally:
+        prod.close()
+
+
 def test_native_batch_assembler_matches_python(tmp_path):
     from svcc23_fastsvc_tpu.data.native_batch import native_batch_available
 

@@ -131,6 +131,56 @@ def test_trainer_steps_per_call(tmp_path):
     assert latest_step(str(tmp_path / "exp")) == 10
 
 
+def test_trainer_on_native_producer(tmp_path):
+    """Trainer consumes the C++ producer loop directly (is_prefetching
+    path) through the steps_per_call stacking, which holds K slot views at
+    once (train/loop.py:214)."""
+    from svcc23_fastsvc_tpu.data.native_batch import (
+        NativeBatchProducer,
+        native_batch_available,
+    )
+    from svcc23_fastsvc_tpu.train.loop import Trainer
+
+    if not native_batch_available():
+        pytest.skip("libbatch.so not buildable here")
+    task = tiny_task()
+    state = task.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    n, max_frames, hop, D, E = 3, 40, 20, 8, 12
+    packed = {
+        "audio": rng.standard_normal((n, max_frames * hop)).astype(np.float32) * 0.1,
+        "f0": np.full((n, max_frames), 220.0, np.float32),
+        "ppg": rng.standard_normal((n, max_frames, D)).astype(np.float32),
+        "lft": rng.standard_normal((n, max_frames * hop)).astype(np.float32) * 0.1,
+        "spk_emb": rng.standard_normal((n, E)).astype(np.float32),
+        "n_frames": np.full((n,), max_frames, np.int64),
+    }
+    k = 4
+    producer = NativeBatchProducer(
+        packed, batch_size=2, frames=10, hop=hop, use_spk_emb=True,
+        n_threads=2, hold=2 * k, seed=7,
+    )
+    cfg = {
+        "train_max_steps": 8,
+        "discriminator_train_start_steps": 4,
+        "log_interval_steps": 100,
+        "eval_interval_steps": 100,
+        "save_interval_steps": 100,
+        "batch_size": 2,
+        "batch_length": 200,
+        "sampling_rate": 4000,
+        "steps_per_call": k,
+    }
+    try:
+        trainer = Trainer(task, state, producer, config=cfg,
+                          outdir=str(tmp_path / "exp"))
+        final = trainer.run()
+    finally:
+        producer.close()
+    assert int(jax.device_get(final.step)) == 8
+
+
 def test_trainer_warmup_fast_forward(tmp_path):
     """generator_train_start_steps > 0: the idle warm-up region advances
     state.step together with the loop counter (round-1 desync bug), for both
