@@ -48,18 +48,29 @@ def _interpret() -> bool:
 
 @functools.lru_cache(maxsize=None)
 def _pick_tile(T: int, C: int):
-    """Largest-fit time tile: a divisor of T, multiple of 64, near the
-    ~64k-element VMEM sweet spot. None if T admits no usable tile."""
-    if T % 64:
+    """Time tile: a multiple of 64 near the ~64k-element VMEM sweet spot.
+
+    Prefers a divisor of T (no padded edge block at all); otherwise any
+    multiple of 64 — Pallas pads the last partial block, the kernels'
+    positional where-selects zero the padded reads, and pad-region writes
+    are discarded on copy-out. The production 24 kHz geometry (frame axes
+    150/750/3000/12000 per 1-s crop) has no 64-divisible level except the
+    final 24000, so divisor-only gating would idle the kernel at almost
+    every hot conv. None only for tiny rows (< 256)."""
+    if T < 256:
         return None
     target = max(256, min(4096, (1 << 16) // max(C, 1)))
     best = None
-    for m in range(1, min(T // 64, 128) + 1):
-        S = 64 * m
-        if T % S or not 256 <= S <= 8192:
-            continue
-        if best is None or abs(S - target) < abs(best - target):
-            best = S
+    if T % 64 == 0:
+        for m in range(1, min(T // 64, 128) + 1):
+            S = 64 * m
+            if T % S or not 256 <= S <= 8192:
+                continue
+            if best is None or abs(S - target) < abs(best - target):
+                best = S
+    if best is None:
+        cap = -(-T // 64) * 64  # single padded block at most
+        best = max(256, min((target // 64) * 64, cap))
     return best
 
 
@@ -173,7 +184,7 @@ def _fwd_call(x, weight, bias, lo, hi, d, slope):
     S = _pick_tile(T_out, max(C_in, C_out))
     if S is None:
         raise ValueError(f"no usable tile for T_out={T_out}")
-    nT = T_out // S
+    nT = -(-T_out // S)
     w2 = weight.reshape(K * C_in, C_out)
     if bias is not None:
         w2 = jnp.concatenate([w2, bias[None].astype(w2.dtype)], axis=0)
@@ -205,7 +216,7 @@ def _bwd_call(x, g, weight, lo, hi, d, slope, has_bias):
     S = _pick_tile(T_in, max(C_in, C_out))
     if S is None:
         raise ValueError(f"no usable tile for T_in={T_in}")
-    nT = T_in // S
+    nT = -(-T_in // S)
     w2r = weight[::-1].transpose(0, 2, 1).reshape(K * C_out, C_in)
     kernel = functools.partial(
         _bwd_kernel, K=K, d=d, lo=lo, S=S, T_in=T_in, T_out=T_out,

@@ -36,6 +36,11 @@ def pallas_mode():
         (2, 320, 1, 24, 3, 1, None, True),
         (2, 640, 24, 24, 2, 1, None, True),  # K=2, pad (1, 0)
         (2, 320, 192, 192, 3, 3, 0.2, True),
+        # T not a multiple of 64 (partial edge block): the production
+        # 24 kHz per-level frame axes 750/3000 and a one-past-tile 300
+        (2, 750, 24, 24, 3, 9, 0.2, True),
+        (1, 3000, 48, 48, 3, 27, None, True),
+        (2, 300, 24, 48, 3, 1, 0.2, False),
     ],
 )
 def test_kernel_matches_conv1d(B, T, Ci, Co, K, d, slope, use_bias):
@@ -71,10 +76,14 @@ def test_kernel_matches_conv1d(B, T, Ci, Co, K, d, slope, use_bias):
 
 
 def test_unsupported_shapes_fall_through():
-    # odd T (no 64-divisible tile), strided, grouped, K=1, big channels
-    assert not pallas_conv1d_supported((2, 1000, 24), (3, 24, 24),
+    # tiny rows, strided, grouped, K=1, valid padding
+    assert not pallas_conv1d_supported((2, 200, 24), (3, 24, 24),
                                        stride=1, groups=1, lo=1, hi=1,
                                        dilation=1)
+    # non-64-divisible T >= 256 IS supported (partial edge block)
+    assert pallas_conv1d_supported((2, 1000, 24), (3, 24, 24),
+                                   stride=1, groups=1, lo=1, hi=1,
+                                   dilation=1)
     assert not pallas_conv1d_supported((2, 1600, 24), (3, 24, 24),
                                        stride=2, groups=1, lo=1, hi=1,
                                        dilation=1)
@@ -108,8 +117,9 @@ def test_generator_forward_and_grads_mode_neutral(pallas_mode):
         spk_emb_size=16,
     )
     params = gen.init(jax.random.PRNGKey(0))
-    # frames chosen so the last block runs at T % 64 == 0 (Pallas-eligible)
-    ppg, sine, lft, emb = _gen_inputs(gen, B=2, frames=32)
+    # frames chosen so the last block runs with a partial edge tile
+    # (T = 600, not a multiple of 64) while earlier levels fall back
+    ppg, sine, lft, emb = _gen_inputs(gen, B=2, frames=30)
 
     def loss(p):
         y = gen.apply(p, ppg, sine, lft, emb)
