@@ -110,6 +110,80 @@ def _gen_inputs(gen, B=2, frames=16):
     return ppg, sine, lft, emb
 
 
+def test_kernel_bf16_matches_xla_bf16():
+    """bf16 activations (the chip's compute_dtype default): the kernel's
+    f32-accumulated tap matmul tracks the XLA bf16 conv within bf16 noise,
+    forward and gradients."""
+    B, T, Ci, Co, K, d = 2, 750, 24, 24, 3, 9
+    lo = hi = d
+    x = jnp.asarray(RNG.standard_normal((B, T, Ci)), jnp.bfloat16)
+    w = jnp.asarray(RNG.standard_normal((K, Ci, Co)) * 0.3, jnp.bfloat16)
+    b = jnp.asarray(RNG.standard_normal((Co,)), jnp.bfloat16)
+    g = jnp.asarray(RNG.standard_normal((B, T, Co)), jnp.bfloat16)
+
+    def loss_pallas(x_, w_, b_):
+        return jnp.sum(
+            pallas_conv1d(x_, w_, b_, lo, hi, d, 0.2).astype(jnp.float32) * g
+        )
+
+    def loss_ref(x_, w_, b_):
+        xi = jnp.where(x_ >= 0, x_, x_ * jnp.bfloat16(0.2))
+        return jnp.sum(
+            conv1d(xi, w_, b_, padding=(lo, hi), dilation=d).astype(
+                jnp.float32
+            ) * g
+        )
+
+    out = pallas_conv1d(x, w, b, lo, hi, d, 0.2)
+    assert out.dtype == jnp.bfloat16
+    xi = jnp.where(x >= 0, x, x * jnp.bfloat16(0.2))
+    ref = conv1d(xi, w, b, padding=(lo, hi), dilation=d)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+    gp = jax.grad(loss_pallas, (0, 1, 2))(x, w, b)
+    gr = jax.grad(loss_ref, (0, 1, 2))(x, w, b)
+    for a, c in zip(gp, gr):
+        assert a.dtype == c.dtype
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(c, np.float32),
+            rtol=5e-2, atol=5e-1,  # bf16 wgrad accumulates over B*T terms
+        )
+
+
+def test_hnusfgan_forward_mode_neutral(pallas_mode):
+    """B02 vocoder: its K=3 dilated residual convs run at sample-level T
+    (rarely 64-divisible), now Pallas-eligible via partial edge tiles."""
+    from svcc23_fastsvc_tpu.models.hnusfgan import HNUSFGANGenerator
+
+    model = HNUSFGANGenerator(
+        harmonic_params=dict(blockA=2, cycleA=2, blockF=0, cycleF=0,
+                             cascade_mode=0),
+        noise_params=dict(blockA=0, cycleA=0, blockF=2, cycleF=2,
+                          cascade_mode=0),
+        filter_params=dict(blockA=0, cycleA=0, blockF=3, cycleF=3,
+                           cascade_mode=0),
+        residual_channels=8, gate_channels=16, skip_channels=8,
+        aux_channels=10, aux_context_window=2, upsample_scales=(4, 5),
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    B, Tf, hop = 2, 20, 20
+    T = (Tf - 4) * hop  # 320: >= 256 and not a multiple of 64
+    x = jnp.asarray(RNG.standard_normal((B, T, 2)) * 0.1, jnp.float32)
+    c = jnp.asarray(RNG.standard_normal((B, Tf, 10)), jnp.float32)
+    d = jnp.asarray(RNG.random((B, T)) * 2 + 0.5, jnp.float32)
+
+    set_pallas_conv_mode("1")
+    y1, s1 = model.apply(params, x, c, d)
+    set_pallas_conv_mode("0")
+    y0, s0 = model.apply(params, x, c, d)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_generator_forward_and_grads_mode_neutral(pallas_mode):
     """Full generator: Pallas dispatch == XLA dispatch, fwd + param grads."""
     gen = FastSVCGenerator(
