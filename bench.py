@@ -223,27 +223,43 @@ def check_physics(name, flops_per_step, per_step_s, peak):
     return implied / peak if peak else None
 
 
-def _init_backend_with_retry(max_wait_s: int = 900, interval_s: int = 60):
+def _init_backend_with_retry(max_wait_s: int = 900, interval_s: int = 60,
+                             probe_timeout_s: int = 240):
     """The experimental axon tunnel flaps; a transient outage at bench time
-    shouldn't zero the round. Failed backend init is cached inside jax, so
-    retry by re-exec'ing this process (bounded via an env counter)."""
+    shouldn't zero the round. A down tunnel makes jax.devices() either
+    raise OR hang in device enumeration (both observed), so probe it in a
+    daemon thread with a deadline. Failed/hung init is cached inside jax,
+    so retry by re-exec'ing this process (bounded via an env counter);
+    execv also discards the hung probe thread."""
     import os
     import sys
+    import threading
 
-    try:
-        return jax.devices()
-    except Exception as e:  # RuntimeError: unable to initialize backend
-        n = int(os.environ.get("_BENCH_INIT_RETRY", "0"))
-        if (n + 1) * interval_s > max_wait_s:
-            raise
-        print(
-            f"backend init failed ({e}); retry {n + 1} in {interval_s}s",
-            file=sys.stderr,
-            flush=True,
-        )
-        time.sleep(interval_s)
-        os.environ["_BENCH_INIT_RETRY"] = str(n + 1)
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+    out = {}
+
+    def probe():
+        try:
+            out["devs"] = jax.devices()
+        except Exception as e:  # RuntimeError: unable to initialize backend
+            out["err"] = e
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(probe_timeout_s)
+    if "devs" in out:
+        return out["devs"]
+    err = out.get("err", f"device enumeration hung > {probe_timeout_s}s")
+    n = int(os.environ.get("_BENCH_INIT_RETRY", "0"))
+    if (n + 1) * interval_s > max_wait_s:
+        raise RuntimeError(f"backend init failed after {n} retries: {err}")
+    print(
+        f"backend init failed ({err}); retry {n + 1} in {interval_s}s",
+        file=sys.stderr,
+        flush=True,
+    )
+    time.sleep(interval_s)
+    os.environ["_BENCH_INIT_RETRY"] = str(n + 1)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
 def main():
