@@ -68,6 +68,49 @@ def jit_train_step_dp(step_fn, mesh: Mesh, *, axis_name: str = "data",
     )
 
 
+def shard_map_step_dp(task, phase: str, mesh: Mesh, *,
+                      axis_name: str = "data", donate: bool = True,
+                      multi_step: bool = False):
+    """DP step via jax.shard_map instead of GSPMD shardings.
+
+    Each shard runs the full step on its local batch rows with gradients
+    and metrics explicitly pmean'd over `axis_name` (the task's
+    `pmean_axis` hook). Numerically identical to jit_train_step_dp for a
+    deterministic step (exact-equality tested); with per-batch noise the
+    shards draw from the same key so the noise layout differs from the
+    single-program GSPMD trace (statistically equivalent).
+
+    Why it exists: GSPMD cannot partition Pallas custom calls along the
+    sharded batch axis, so the GSPMD path forces the XLA conv lowerings.
+    Under shard_map the kernel body is manual per-shard code — the fused
+    Pallas convs run as-is on local data, composing the kernel wins with
+    data parallelism.
+    """
+    import dataclasses
+
+    task_p = dataclasses.replace(task, pmean_axis=axis_name)
+    step = getattr(task_p, f"{phase}_step")
+    if multi_step:
+        from ..train.gan import make_multi_step
+
+        step = make_multi_step(step)
+        batch_spec = P(None, axis_name)
+    else:
+        batch_spec = P(axis_name)
+    # check_vma off: the model's custom-VJP ops (rfft STFT loss, the fused
+    # Pallas convs) don't declare varying-manual-axes types, and the vma
+    # typechecker rejects their cotangents under shard_map. The replicated
+    # out_specs are guaranteed by the explicit pmean instead.
+    fn = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), batch_spec),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    kw = dict(donate_argnums=(0,)) if donate else {}
+    return jax.jit(fn, **kw)
+
+
 def shard_stacked_batch(batches, mesh: Mesh, *, axis_name: str = "data"):
     """Place a K-stacked batch dict (leading scan axis K, then batch axis)
     with the batch axis sharded over the mesh and the scan axis replicated."""

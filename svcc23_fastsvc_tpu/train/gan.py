@@ -58,6 +58,14 @@ class FastSVCTrainTask:
     adv_loss_type: str = "mse"
     use_stft_loss: bool = True
     compute_dtype: Any = None  # e.g. jnp.bfloat16 for mixed precision
+    # Mesh axis to pmean gradients/metrics over. None for single-device and
+    # GSPMD-sharded jits (where XLA derives the all-reduce from shardings);
+    # set to the mesh axis name when the step runs under jax.shard_map
+    # (parallel.mesh.shard_map_step_dp) — per-shard grads and batch-mean
+    # metrics are explicitly averaged over the data axis, which keeps
+    # Pallas kernels usable under DP (GSPMD cannot partition their custom
+    # calls, shard_map runs them per-shard on local data).
+    pmean_axis: Any = None
 
     # ------------------------------------------------------------------
     # state
@@ -115,7 +123,16 @@ class FastSVCTrainTask:
         metrics = {}
         gen_loss = 0.0
         if self.use_stft_loss:
-            sc, mag = self.stft_loss(y_hat[..., 0], y[..., 0])
+            # axis_name: under shard_map the spectral-convergence norms are
+            # batch-global (psum'd), so the sc VALUE matches the
+            # single-program computation exactly. Gradients also come out
+            # exact under the caller's pmean: psum transposes to psum in
+            # JAX, so each shard's grad is axis_size x its local portion of
+            # the full sc gradient, and pmean reconstructs the full sum
+            # (verified empirically against the single-program grad).
+            sc, mag = self.stft_loss(
+                y_hat[..., 0], y[..., 0], axis_name=self.pmean_axis
+            )
             gen_loss = sc + mag
             metrics["spectral_convergence_loss"] = sc
             metrics["log_stft_magnitude_loss"] = mag
@@ -153,6 +170,13 @@ class FastSVCTrainTask:
     # step functions (jit these; see jit_steps)
     # ------------------------------------------------------------------
 
+    def _pmean(self, tree):
+        """Average a pytree over the data axis under shard_map; identity
+        otherwise (GSPMD inserts the equivalent all-reduce itself)."""
+        if self.pmean_axis is None:
+            return tree
+        return jax.lax.pmean(tree, self.pmean_axis)
+
     def gen_step(self, state: GANTrainState, batch) -> tuple:
         """Phase A: generator-only update."""
         rng, k_sine = jax.random.split(state.rng)
@@ -160,6 +184,7 @@ class FastSVCTrainTask:
             lambda p: self._gen_loss(p, state.d_params, batch, k_sine, with_adv=False),
             has_aux=True,
         )(state.g_params)
+        grads, metrics = self._pmean((grads, metrics))
         updates, g_opt_state = self.g_tx.update(
             grads, state.g_opt_state, state.g_params
         )
@@ -177,6 +202,7 @@ class FastSVCTrainTask:
             lambda p: self._gen_loss(p, state.d_params, batch, k_sine, with_adv=True),
             has_aux=True,
         )(state.g_params)
+        grads, metrics = self._pmean((grads, metrics))
         updates, g_opt_state = self.g_tx.update(
             grads, state.g_opt_state, state.g_params
         )
@@ -194,6 +220,7 @@ class FastSVCTrainTask:
         d_grads, d_metrics = jax.grad(
             lambda p: self._dis_loss(p, batch["audio"], y_hat), has_aux=True
         )(state.d_params)
+        d_grads, d_metrics = self._pmean((d_grads, d_metrics))
         d_updates, d_opt_state = self.d_tx.update(
             d_grads, state.d_opt_state, state.d_params
         )

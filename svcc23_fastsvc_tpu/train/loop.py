@@ -91,16 +91,43 @@ class Trainer:
         self.writer = writer
         self.multihost = multihost and jax.process_count() > 1
         if mesh is not None:
-            from ..parallel import jit_train_step_dp, replicate, shard_batch
-            from ..ops.conv import set_pallas_conv_mode
+            from ..parallel import (
+                jit_train_step_dp,
+                replicate,
+                shard_batch,
+                shard_map_step_dp,
+            )
+            from ..ops.conv import _pallas_conv_enabled, set_pallas_conv_mode
 
-            # The fused Pallas conv lowering is a custom call GSPMD cannot
-            # partition along the sharded batch axis; force the XLA
-            # lowerings before any mesh-sharded step traces.
-            set_pallas_conv_mode("0")
+            # Two DP lowerings (config dp_impl: auto | gspmd | shard_map):
+            #  * gspmd — jit with in/out shardings; XLA derives the grad
+            #    all-reduce. Cannot partition the fused Pallas conv custom
+            #    calls, so those are forced to the XLA lowerings.
+            #  * shard_map — per-shard step with explicit grad/metric pmean
+            #    (task.pmean_axis); keeps the Pallas kernels under DP.
+            # auto picks shard_map exactly when the Pallas path is active.
+            dp_impl = str(config.get("dp_impl", "auto"))
+            if dp_impl == "auto":
+                dp_impl = (
+                    "shard_map"
+                    if _pallas_conv_enabled() and hasattr(task, "pmean_axis")
+                    else "gspmd"
+                )
+            self._dp_impl = dp_impl
             self.state = replicate(self.state, mesh)
-            self._gen_step = jit_train_step_dp(task.gen_step, mesh, donate=True)
-            self._gan_step = jit_train_step_dp(task.gan_step, mesh, donate=True)
+            if dp_impl == "shard_map":
+                self._gen_step = shard_map_step_dp(task, "gen", mesh,
+                                                   donate=True)
+                self._gan_step = shard_map_step_dp(task, "gan", mesh,
+                                                   donate=True)
+            else:
+                # GSPMD cannot partition the Pallas custom call along the
+                # sharded batch axis; force the XLA lowerings pre-trace.
+                set_pallas_conv_mode("0")
+                self._gen_step = jit_train_step_dp(task.gen_step, mesh,
+                                                   donate=True)
+                self._gan_step = jit_train_step_dp(task.gan_step, mesh,
+                                                   donate=True)
             if self.multihost:
                 # each process feeds its local rows of the global batch
                 from ..parallel import global_batch
@@ -120,10 +147,20 @@ class Trainer:
             if mesh is not None:
                 from ..parallel import jit_multi_step_dp, shard_stacked_batch
 
-                self._gen_multi = jit_multi_step_dp(task.gen_step, mesh,
-                                                    donate=True)
-                self._gan_multi = jit_multi_step_dp(task.gan_step, mesh,
-                                                    donate=True)
+                if self._dp_impl == "shard_map":
+                    from ..parallel import shard_map_step_dp
+
+                    self._gen_multi = shard_map_step_dp(
+                        task, "gen", mesh, donate=True, multi_step=True
+                    )
+                    self._gan_multi = shard_map_step_dp(
+                        task, "gan", mesh, donate=True, multi_step=True
+                    )
+                else:
+                    self._gen_multi = jit_multi_step_dp(task.gen_step, mesh,
+                                                        donate=True)
+                    self._gan_multi = jit_multi_step_dp(task.gan_step, mesh,
+                                                        donate=True)
                 if self.multihost:
                     from ..parallel import global_stacked_batch
 

@@ -158,6 +158,108 @@ def test_trainer_mesh_with_steps_per_call(tmp_path):
     assert int(jax.device_get(final.step)) == 8
 
 
+def _assert_params_close(tree_a, tree_b, *, rtol=2e-3, atol=1e-3,
+                         agg_tol=2e-6):
+    """Element-wise within (rtol, atol) AND mean |diff| <= agg_tol."""
+    total, count = 0.0, 0
+    for a, b in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        np.testing.assert_allclose(a, b, rtol=rtol, atol=atol)
+        total += np.abs(a - b).sum()
+        count += a.size
+    assert total / count <= agg_tol, f"mean |diff| {total / count:.3e}"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_shard_map_dp_matches_gspmd_dp():
+    """shard_map DP (explicit per-shard step + pmean) == GSPMD DP for the
+    deterministic task (noise_amp=0): same params, same metrics."""
+    from svcc23_fastsvc_tpu.parallel import shard_map_step_dp
+    from test_train_step import tiny_batch, tiny_task
+
+    task = tiny_task()
+    batch = tiny_batch(jax.random.PRNGKey(1), B=8)
+    mesh = make_mesh(8)
+
+    state_g = replicate(task.init_state(jax.random.PRNGKey(0)), mesh)
+    gspmd = jit_train_step_dp(task.gan_step, mesh, donate=False)
+    s_g, m_g = gspmd(state_g, shard_batch(batch, mesh))
+
+    state_s = replicate(task.init_state(jax.random.PRNGKey(0)), mesh)
+    smap = shard_map_step_dp(task, "gan", mesh, donate=False)
+    s_s, m_s = smap(state_s, shard_batch(batch, mesh))
+
+    for k in m_g:
+        np.testing.assert_allclose(float(m_s[k]), float(m_g[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+    # Per-element: loose (near-cancelling grad sums — weight-norm g scalars
+    # — amplify f32 reduction-order noise). Aggregate: tight, so any
+    # systematic difference (e.g. a mis-scaled pmean) still fails loudly.
+    _assert_params_close(s_g.g_params, s_s.g_params)
+    _assert_params_close(s_g.d_params, s_s.d_params)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_shard_map_dp_runs_pallas_conv():
+    """The point of the shard_map path: the fused Pallas convs (which GSPMD
+    cannot partition) run under DP. Interpret-mode kernel on the CPU mesh,
+    T large enough for the kernel gate; must match the XLA-mode GSPMD DP."""
+    from svcc23_fastsvc_tpu.ops.conv import set_pallas_conv_mode
+    from svcc23_fastsvc_tpu.parallel import shard_map_step_dp
+    from test_train_step import tiny_batch, tiny_task
+
+    task = tiny_task()
+    batch = tiny_batch(jax.random.PRNGKey(1), B=8, Tf=20)  # T=400 >= 256
+    mesh = make_mesh(8)
+
+    set_pallas_conv_mode("0")
+    state_g = replicate(task.init_state(jax.random.PRNGKey(0)), mesh)
+    gspmd = jit_train_step_dp(task.gan_step, mesh, donate=False)
+    s_g, m_g = gspmd(state_g, shard_batch(batch, mesh))
+
+    try:
+        set_pallas_conv_mode("1")
+        state_s = replicate(task.init_state(jax.random.PRNGKey(0)), mesh)
+        smap = shard_map_step_dp(task, "gan", mesh, donate=False)
+        s_s, m_s = smap(state_s, shard_batch(batch, mesh))
+    finally:
+        set_pallas_conv_mode("auto")
+
+    np.testing.assert_allclose(
+        float(m_s["generator_loss"]), float(m_g["generator_loss"]), rtol=1e-4
+    )
+    _assert_params_close(s_g.g_params, s_s.g_params)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_shard_map_multi_step_matches_sequential():
+    """K-step scanned shard_map DP == K sequential shard_map DP steps."""
+    from svcc23_fastsvc_tpu.parallel import shard_map_step_dp, shard_stacked_batch
+    from test_train_step import tiny_batch, tiny_task
+
+    task = tiny_task()
+    K = 3
+    batches = [tiny_batch(jax.random.PRNGKey(20 + i), B=8) for i in range(K)]
+    mesh = make_mesh(8)
+
+    state_seq = replicate(task.init_state(jax.random.PRNGKey(0)), mesh)
+    step = shard_map_step_dp(task, "gan", mesh, donate=False)
+    for b in batches:
+        state_seq, _ = step(state_seq, shard_batch(b, mesh))
+
+    state_scan = replicate(task.init_state(jax.random.PRNGKey(0)), mesh)
+    stacked = shard_stacked_batch(
+        jax.tree.map(lambda *xs: jnp.stack(xs), *batches), mesh
+    )
+    multi = shard_map_step_dp(task, "gan", mesh, donate=False,
+                              multi_step=True)
+    state_scan, scan_metrics = multi(state_scan, stacked)
+
+    assert int(jax.device_get(state_scan.step)) == K
+    assert scan_metrics["generator_loss"].shape[0] == K
+    _assert_params_close(state_seq.g_params, state_scan.g_params)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_b02_dp_step_runs_on_mesh():
     """B02 acoustic-model training step jits and runs over the 8-dev mesh."""
