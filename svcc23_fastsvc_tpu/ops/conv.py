@@ -44,8 +44,9 @@ def set_pallas_conv_mode(mode: str) -> None:
     """Set the fused-conv lowering mode: "0", "1", or "auto"."""
     if mode not in ("0", "1", "auto"):
         raise ValueError(f"bad pallas conv mode: {mode!r}")
-    global _PALLAS_CONV_MODE
+    global _PALLAS_CONV_MODE, _PALLAS_CONV_VALIDATED
     _PALLAS_CONV_MODE = mode
+    _PALLAS_CONV_VALIDATED = None
 
 
 def _pallas_conv_enabled() -> bool:
@@ -54,9 +55,98 @@ def _pallas_conv_enabled() -> bool:
     if _PALLAS_CONV_MODE == "1":
         return True
     try:
-        return jax.default_backend() == "tpu"
+        return jax.default_backend() == "tpu" and _pallas_conv_selfcheck()
     except Exception:
         return False
+
+
+# Tri-state cache for the auto-mode on-device validation: None = not yet
+# probed, True/False = probe verdict. set_pallas_conv_mode resets it so a
+# test can force a re-probe.
+_PALLAS_CONV_VALIDATED = None
+
+
+def _pallas_conv_selfcheck() -> bool:
+    """One-time on-device numerical check of the fused Pallas conv.
+
+    The kernel is developed and unit-tested in interpret mode; Mosaic
+    compilation on a real chip is a different code path (layout/lowering
+    constraints interpret mode cannot see). In "auto" mode we therefore
+    refuse to route production convs through it until one forward+backward
+    on this backend matches the XLA lowering. Any mismatch or compile
+    failure quietly pins the process to the XLA path — correctness of
+    train/decode/bench never depends on the kernel.
+    """
+    global _PALLAS_CONV_VALIDATED
+    if _PALLAS_CONV_VALIDATED is not None:
+        return _PALLAS_CONV_VALIDATED
+    _PALLAS_CONV_VALIDATED = False  # re-entrancy guard while probing
+    import logging
+
+    import numpy as np
+
+    try:
+        from .pallas_conv import pallas_conv1d, pallas_conv1d_supported
+
+        ok = True
+        # One 64-divisible row and one partial-edge-tile row (the production
+        # 24 kHz frame axes are mostly non-divisible), largest dilation.
+        for B, T, C_in, C_out, dil, slope in (
+            (2, 512, 24, 48, 3, 0.2),
+            (2, 750, 96, 96, 27, None),
+        ):
+            K = 3
+            lo = hi = (K - 1) * dil // 2
+            assert pallas_conv1d_supported(
+                (B, T, C_in), (K, C_in, C_out), stride=1, groups=1,
+                lo=lo, hi=hi, dilation=dil,
+            )
+            key = jax.random.PRNGKey(17)
+            kx, kw, kb, kg = jax.random.split(key, 4)
+            x = jax.random.normal(kx, (B, T, C_in), jnp.float32)
+            w = jax.random.normal(kw, (K, C_in, C_out), jnp.float32) * 0.2
+            b = jax.random.normal(kb, (C_out,), jnp.float32)
+            gy = jax.random.normal(kg, (B, T, C_out), jnp.float32)
+
+            def ref(x, w, b, slope=slope, lo=lo, hi=hi, dil=dil):
+                h = x if slope is None else leaky_relu(x, slope)
+                out = jax.lax.conv_general_dilated(
+                    h, w, (1,), ((lo, hi),), rhs_dilation=(dil,),
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                )
+                return out + b
+
+            def fused(x, w, b, slope=slope, lo=lo, hi=hi, dil=dil):
+                return pallas_conv1d(x, w, b, lo, hi, dil, slope)
+
+            def loss(f):
+                return lambda x, w, b: jnp.sum(f(x, w, b) * gy)
+
+            y_ref = jax.jit(ref)(x, w, b)
+            y_pal = jax.jit(fused)(x, w, b)
+            g_ref = jax.jit(jax.grad(loss(ref), argnums=(0, 1, 2)))(x, w, b)
+            g_pal = jax.jit(jax.grad(loss(fused), argnums=(0, 1, 2)))(x, w, b)
+            ok = ok and np.allclose(
+                np.asarray(y_ref), np.asarray(y_pal), rtol=2e-4, atol=2e-4
+            )
+            for a, c in zip(g_ref, g_pal):
+                ok = ok and np.allclose(
+                    np.asarray(a), np.asarray(c), rtol=2e-3, atol=2e-3
+                )
+        _PALLAS_CONV_VALIDATED = bool(ok)
+        if not ok:
+            logging.getLogger(__name__).warning(
+                "Pallas conv self-check FAILED numerics on backend %s; "
+                "falling back to XLA conv lowerings",
+                jax.default_backend(),
+            )
+    except Exception as e:  # Mosaic compile error, OOM, unsupported op, ...
+        logging.getLogger(__name__).warning(
+            "Pallas conv self-check raised (%s: %s); "
+            "falling back to XLA conv lowerings", type(e).__name__, e,
+        )
+        _PALLAS_CONV_VALIDATED = False
+    return _PALLAS_CONV_VALIDATED
 
 
 def _build_taps(x, K, dilation, pad_lo, pad_hi, with_ones):

@@ -209,3 +209,40 @@ def test_generator_forward_and_grads_mode_neutral(pallas_mode):
     for a, c in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_auto_mode_selfcheck_gates_dispatch(monkeypatch):
+    """Auto mode must refuse the kernel until an on-device probe passes.
+
+    The kernel is only ever unit-tested in interpret mode; on a real chip
+    "auto" runs `_pallas_conv_selfcheck` (fwd + grads vs the XLA lowering)
+    once and pins the process to the XLA path on any mismatch or compile
+    failure. Exercise both verdicts here (interpret mode stands in for the
+    device).
+    """
+    from svcc23_fastsvc_tpu.ops import conv as conv_mod
+    from svcc23_fastsvc_tpu.ops import pallas_conv as pk
+
+    set_pallas_conv_mode("auto")  # clears the cached verdict
+    assert conv_mod._pallas_conv_selfcheck()
+    assert conv_mod._PALLAS_CONV_VALIDATED is True
+
+    # A kernel that compiles but returns wrong numerics must be rejected.
+    real = pk.pallas_conv1d
+    monkeypatch.setattr(
+        pk, "pallas_conv1d",
+        lambda x, w, b, lo, hi, d, s: real(x, w, b, lo, hi, d, s) * 1.5,
+    )
+    set_pallas_conv_mode("auto")
+    assert not conv_mod._pallas_conv_selfcheck()
+
+    # A kernel that raises (Mosaic compile error stand-in) must be rejected.
+    def _boom(*a, **k):
+        raise RuntimeError("mosaic lowering failed")
+
+    monkeypatch.setattr(pk, "pallas_conv1d", _boom)
+    set_pallas_conv_mode("auto")
+    assert not conv_mod._pallas_conv_selfcheck()
+
+    monkeypatch.undo()
+    set_pallas_conv_mode("auto")
