@@ -19,13 +19,38 @@ import sys
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", ".."))
 sys.path.insert(0, REPO)
 
+from svcc23_fastsvc_tpu.utils import launcher  # noqa: E402
 
-def sh(mod, *args):
-    cmd = [sys.executable, "-m", f"svcc23_fastsvc_tpu.bin.{mod}", *map(str, args)]
-    print("+", " ".join(cmd), flush=True)
+
+def _env():
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    subprocess.run(cmd, check=True, env=env)
+    return env
+
+
+def _mod_cmd(mod, *args):
+    return [sys.executable, "-m", f"svcc23_fastsvc_tpu.bin.{mod}",
+            *map(str, args)]
+
+
+def sh(mod, *args):
+    cmd = _mod_cmd(mod, *args)
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True, env=_env())
+
+
+def sh_array(args_ns, n_jobs, name, mod, *argv):
+    """Launcher job array (Kaldi `${train_cmd} JOB=1:N` role; see
+    svcc23_fastsvc_tpu/utils/launcher.py and the fastsvc1 driver)."""
+    cmd = _mod_cmd(mod, *argv)
+    print(f"+ [{args_ns.cmd} x{n_jobs}]", " ".join(cmd), flush=True)
+    launcher.launch(
+        cmd, n_jobs, backend=args_ns.cmd,
+        log_dir=os.path.join(args_ns.expdir, "log"), name=name,
+        max_parallel=args_ns.max_parallel,
+        hosts=args_ns.hosts.split(",") if args_ns.hosts else None,
+        env={"PYTHONPATH": _env()["PYTHONPATH"]},
+    )
 
 
 def main():
@@ -46,6 +71,15 @@ def main():
                         "shipped conf/f0.yml carries both the Harvest "
                         "ranges and the conversion stats)")
     p.add_argument("--speakers", nargs="*", default=["IDM1"])
+    p.add_argument("--cmd", default="local",
+                   choices=["local", "ssh", "slurm"],
+                   help="launcher backend for job arrays (cmd.sh role)")
+    p.add_argument("--n-jobs", type=int, default=1,
+                   help="stage 1 feature-extraction array width")
+    p.add_argument("--hosts", default=None,
+                   help="comma-separated host list for --cmd ssh")
+    p.add_argument("--max-parallel", type=int, default=None,
+                   help="cap on concurrently running array jobs")
     args = p.parse_args()
 
     train_scp = os.path.join(args.datadir, "train", "wav.scp")
@@ -69,9 +103,15 @@ def main():
                 extra = ["--hubert-checkpoint", args.hubert_checkpoint]
             if os.path.exists(args.f0_conf):
                 extra += ["--f0-config", args.f0_conf]
-            sh("preprocess_b02", "--wav-scp", scp, "--dumpdir", dump(split),
-               "--config", args.conf, "--spk-emb-file", spk_embs,
-               "--linguistic", args.linguistic, *extra)
+            common = ["--wav-scp", scp, "--dumpdir", dump(split),
+                      "--config", args.conf, "--spk-emb-file", spk_embs,
+                      "--linguistic", args.linguistic, *extra]
+            if args.n_jobs > 1:  # launcher job array (run.pl JOB=1:N role)
+                sh_array(args, args.n_jobs, f"preprocess_{split}",
+                         "preprocess_b02", *common,
+                         "--n-shards", "{n_jobs}", "--shard-id", "{job}")
+            else:
+                sh("preprocess_b02", *common)
 
     stats = os.path.join(args.dumpdir, "stats_b02.joblib")
     if args.stage <= 2 <= args.stop_stage:

@@ -16,13 +16,21 @@ Usage:
       --datadir data --expdir exp --tag my_run
 
 Expects data/{train,dev,eval}/wav.scp. The Kaldi job-array layer of the
-reference (run.pl/slurm.pl scp shards) is replaced by the batched, jitted
-feature extractors — one process saturates a chip. Multi-host launches run
-this driver once per host with --n-procs N --proc-id I --coordinator H:P:
-stage 1 shards the scp by process id, stage 4 trains data-parallel over
-the global device slice via jax.distributed, and the single-process stages
-(0, 2, 3, 5) run on process 0 only (sequence stages yourself if hosts don't
-share a filesystem).
+reference (run.pl/queue.pl/slurm.pl/ssh.pl selected by cmd.sh) is the
+launcher module (svcc23_fastsvc_tpu.utils.launcher) selected by --cmd:
+
+  --cmd local --n-jobs 8       stage 1 fans feature extraction over 8
+                               scp-sharded local processes (run.pl role)
+  --cmd slurm --n-jobs 32      same as one sbatch array (slurm.pl role)
+  --cmd ssh --hosts h0,h1      jobs round-robin over hosts (ssh.pl role);
+                               with --n-procs N, stage 4 launches the N
+                               jax.distributed training processes itself
+                               (one per host, --proc-id assigned)
+
+Manual multi-host placement still works: run this driver once per host
+with --n-procs N --proc-id I --coordinator H:P (stage 1 then shards the
+scp by process id; single-process stages run on process 0 only; hosts
+must share the dump filesystem, as in Kaldi).
 """
 
 import argparse
@@ -33,13 +41,38 @@ import sys
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", ".."))
 sys.path.insert(0, REPO)
 
+from svcc23_fastsvc_tpu.utils import launcher  # noqa: E402
 
-def sh(mod, *args):
-    cmd = [sys.executable, "-m", f"svcc23_fastsvc_tpu.bin.{mod}", *map(str, args)]
-    print("+", " ".join(cmd), flush=True)
+
+def _env():
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    subprocess.run(cmd, check=True, env=env)
+    return env
+
+
+def _mod_cmd(mod, *args):
+    return [sys.executable, "-m", f"svcc23_fastsvc_tpu.bin.{mod}",
+            *map(str, args)]
+
+
+def sh(mod, *args):
+    cmd = _mod_cmd(mod, *args)
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True, env=_env())
+
+
+def sh_array(args_ns, n_jobs, name, mod, *argv):
+    """Run a {job}-templated module command as an n_jobs array via the
+    configured launcher backend (the `${train_cmd} JOB=1:N` role)."""
+    cmd = _mod_cmd(mod, *argv)
+    print(f"+ [{args_ns.cmd} x{n_jobs}]", " ".join(cmd), flush=True)
+    launcher.launch(
+        cmd, n_jobs, backend=args_ns.cmd,
+        log_dir=os.path.join(args_ns.expdir, "log"), name=name,
+        max_parallel=args_ns.max_parallel,
+        hosts=args_ns.hosts.split(",") if args_ns.hosts else None,
+        env={"PYTHONPATH": _env()["PYTHONPATH"]},
+    )
 
 
 def main():
@@ -59,14 +92,25 @@ def main():
                         "real x-vectors instead of hash embeddings")
     p.add_argument("--speakers", nargs="*", default=None)
     p.add_argument("--n-procs", type=int, default=1,
-                   help="multi-host: total launcher processes")
-    p.add_argument("--proc-id", type=int, default=0,
-                   help="multi-host: this process's index")
+                   help="multi-host: total jax.distributed processes")
+    p.add_argument("--proc-id", type=int, default=None,
+                   help="multi-host: this process's index (omit to have "
+                        "the launcher place all --n-procs processes)")
     p.add_argument("--coordinator", default="127.0.0.1:12321",
                    help="multi-host: jax.distributed coordinator host:port")
+    p.add_argument("--cmd", default="local",
+                   choices=["local", "ssh", "slurm"],
+                   help="launcher backend for job arrays (cmd.sh role)")
+    p.add_argument("--n-jobs", type=int, default=1,
+                   help="stage 1 feature-extraction array width")
+    p.add_argument("--hosts", default=None,
+                   help="comma-separated host list for --cmd ssh")
+    p.add_argument("--max-parallel", type=int, default=None,
+                   help="cap on concurrently running array jobs")
     args = p.parse_args()
     multiproc = args.n_procs > 1
-    main_proc = args.proc_id == 0
+    launch_train = multiproc and args.proc_id is None
+    main_proc = args.proc_id in (None, 0)
 
     train_scp = os.path.join(args.datadir, "train", "wav.scp")
     dev_scp = os.path.join(args.datadir, "dev", "wav.scp")
@@ -94,12 +138,19 @@ def main():
                 extra = ["--ppg-checkpoint", args.ppg_checkpoint]
             if os.path.exists(args.f0_conf):
                 extra += ["--f0-config", args.f0_conf]
-            if multiproc:  # scp shard per process (Kaldi job-array role)
-                extra += ["--n-shards", args.n_procs,
-                          "--shard-id", args.proc_id]
-            sh("preprocess_fastsvc", "--wav-scp", scp, "--dumpdir", dump(split),
-               "--config", args.conf, "--spk-emb-file", spk_embs,
-               "--linguistic", args.linguistic, *extra)
+            common = ["--wav-scp", scp, "--dumpdir", dump(split),
+                      "--config", args.conf, "--spk-emb-file", spk_embs,
+                      "--linguistic", args.linguistic, *extra]
+            if multiproc and args.proc_id is not None:
+                # manual placement: this process handles its own shard
+                sh("preprocess_fastsvc", *common,
+                   "--n-shards", args.n_procs, "--shard-id", args.proc_id)
+            elif args.n_jobs > 1:  # launcher job array (run.pl JOB=1:N role)
+                sh_array(args, args.n_jobs, f"preprocess_{split}",
+                         "preprocess_fastsvc", *common,
+                         "--n-shards", "{n_jobs}", "--shard-id", "{job}")
+            else:
+                sh("preprocess_fastsvc", *common)
 
     if args.stage <= 2 <= args.stop_stage and main_proc:
         sh("compute_f0stats", "--dumpdir", dump("train"),
@@ -118,11 +169,21 @@ def main():
         extra = []
         if os.path.isdir(dump("dev", norm=True)):
             extra = ["--dev-dumpdir", dump("dev", norm=True)]
-        if multiproc:
-            extra += ["--n-procs", args.n_procs, "--proc-id", args.proc_id,
-                      "--coordinator", args.coordinator]
-        sh("train_fastsvc", "--train-dumpdir", dump("train", norm=True),
-           "--outdir", exp, "--config", args.conf, "--resume", *extra)
+        train_argv = ["--train-dumpdir", dump("train", norm=True),
+                      "--outdir", exp, "--config", args.conf, "--resume",
+                      *extra]
+        if launch_train:
+            # the driver places all N jax.distributed processes itself
+            # (one per --hosts entry under --cmd ssh; N local processes
+            # under --cmd local, e.g. CPU multi-process testing)
+            sh_array(args, args.n_procs, "train", "train_fastsvc",
+                     *train_argv, "--n-procs", args.n_procs,
+                     "--proc-id", "{job}", "--coordinator", args.coordinator)
+        elif multiproc:
+            sh("train_fastsvc", *train_argv, "--n-procs", args.n_procs,
+               "--proc-id", args.proc_id, "--coordinator", args.coordinator)
+        else:
+            sh("train_fastsvc", *train_argv)
 
     if args.stage <= 5 <= args.stop_stage and main_proc:
         extra = []
