@@ -96,7 +96,13 @@ def main(argv=None):
     )
     if args.resume:
         trainer.resume(None if args.resume == "auto" else args.resume)
+    trainer.install_preemption_handler()
     trainer.run()
+    if trainer.preempted:
+        import sys
+
+        logging.info("preempted; checkpoint saved — exiting 75")
+        sys.exit(75)
     logging.info("finished B02 training.")
 
 

@@ -151,7 +151,15 @@ def main(argv=None):
         trainer.resume(args.pretrain, params_only=True)
     if args.resume:
         trainer.resume(None if args.resume == "auto" else args.resume)
+    trainer.install_preemption_handler()
     trainer.run()
+    if trainer.preempted:
+        # EX_TEMPFAIL: tells the scheduler/wrapper this was a graceful
+        # preemption with a resumable checkpoint, not a failure
+        import sys
+
+        logging.info("preempted; checkpoint saved — exiting 75")
+        sys.exit(75)
     logging.info("finished training.")
 
 

@@ -14,6 +14,7 @@ reference only mattered for the DataLoader).
 from __future__ import annotations
 
 import logging
+import signal as _signal
 import time
 from collections import defaultdict
 from typing import Optional
@@ -185,6 +186,35 @@ class Trainer:
         # metrics stay on device until the log flush so _train_step never
         # blocks on a transfer (keeps async dispatch fully pipelined)
         self._pending = []
+        # preemption: set by the signal handler, honored at the next step
+        # boundary (at most one steps_per_call dispatch of latency)
+        self._preempt_requested = False
+        self.preempted = False
+
+    # -- preemption --------------------------------------------------------
+
+    def install_preemption_handler(self, signals=(_signal.SIGTERM,)):
+        """Checkpoint-and-exit on SIGTERM (TPU-VM / slurm / GKE preemption).
+
+        The reference's only failure story is the crash-safe finally-save
+        (train_fastsvc.py:812-819). Preemptible TPU fleets need the
+        graceful version: the handler only sets a flag; the loop finishes
+        the in-flight dispatch, saves a resumable checkpoint, and returns
+        with ``self.preempted`` set so the CLI can exit with a scheduler-
+        visible status. Under jax.distributed the save is collective, so
+        the resource manager must deliver the signal to every process (the
+        normal behavior of slurm's scancel and GKE pod eviction).
+        """
+
+        def _handler(signum, frame):
+            logging.warning(
+                "signal %d: checkpoint and exit at the next step boundary",
+                signum,
+            )
+            self._preempt_requested = True
+
+        for s in signals:
+            _signal.signal(s, _handler)
 
     # -- checkpoint management -------------------------------------------
 
@@ -248,6 +278,11 @@ class Trainer:
             jax.profiler.start_trace(profile_dir)
         try:
             while step < max_steps:
+                if self._preempt_requested:
+                    self.preempted = True
+                    logging.warning("preempted at step %d; saving and "
+                                    "exiting (resume with --resume)", step)
+                    break
                 # reference gates G on generator_train_start_steps and D on
                 # discriminator_train_start_steps (train_fastsvc.py:166,210)
                 k = min(self.steps_per_call, _next_boundary(step))
