@@ -39,6 +39,24 @@ _EINSUM_LOWERING_MAX_CHANNELS = int(
 _PALLAS_CONV_MODE = _os.environ.get("FASTSVC_PALLAS_CONV", "auto")
 _PALLAS_CONV_MAX_CHANNELS = 192
 
+# Fold-packed lowering for small-dilation stride-1 convs: pack r consecutive
+# samples into channels ((B, T, C) -> (B, T/r, r*C), a free reshape in
+# channels-minor layout) so the matmul's output-lane fill grows r-fold. The
+# folded kernel spans K' = (r-1+(K-1)*d)//r + 1 frames with a block-sparse
+# (K', r*C_in, r*C_out) dense weight; useful-MAC fraction is K/(K'*r), so
+# the lowering only pays when K' < K (r >= 2*dilation for K=3). Net MXU
+# ceiling moves from C/128 to K*C/(K'*128) of peak (1.5x for the d=1 convs
+# at C<=64). Off by default until the chip A/B proves it.
+_FOLD_PACK_MODE = _os.environ.get("FASTSVC_FOLD_PACK", "0")
+
+
+def set_fold_pack_mode(mode: str) -> None:
+    """Set the fold-packed conv lowering mode: "0" or "1"."""
+    if mode not in ("0", "1"):
+        raise ValueError(f"bad fold-pack mode: {mode!r}")
+    global _FOLD_PACK_MODE
+    _FOLD_PACK_MODE = mode
+
 
 def set_pallas_conv_mode(mode: str) -> None:
     """Set the fused-conv lowering mode: "0", "1", or "auto"."""
@@ -312,6 +330,62 @@ def _conv1d_stride_folded(x, weight, lo, hi, stride, groups):
     )
 
 
+def _fold_pack_factor(K, C_in, C_out, dilation):
+    """Largest fold r that still shrinks the folded tap count below K.
+
+    Returns (r, K') or None when no r in [2, 128//Cmax] gives K' < K —
+    the folded dense matmul would then do >= the baseline's padding work.
+    """
+    cmax = max(C_in, C_out)
+    r = 128 // cmax
+    if r < 2:
+        return None
+    kp = (r - 1 + (K - 1) * dilation) // r + 1
+    if kp >= K:
+        return None
+    return r, kp
+
+
+def _conv1d_fold_packed(x, weight, bias, lo, hi, dilation, r, kp):
+    """Stride-1 conv on a fold-packed (B, T/r, r*C) activation layout.
+
+    Output sample t = r*f + p reads padded input j = r*f + (p + k*d); with
+    a = p + k*d, m = a // r, q = a % r that is folded frame f + m, phase
+    block q. The folded conv is therefore a VALID stride-1 conv over frames
+    with a dense (kp, r*C_in, r*C_out) weight whose (m, q-block, p-block)
+    slot holds w[k]. Fold/unfold are pure reshapes (channel-minor layout);
+    only the pad copies. XLA autodiff keeps every gradient in the same
+    wide-lane folded form (transposed conv for dx, one dense contraction +
+    static gather for dw).
+    """
+    B, T, C_in = x.shape
+    K, _, C_out = weight.shape
+    d = dilation
+    t_out = T + lo + hi - (K - 1) * d
+    F = -(-t_out // r)
+    Tp = r * (F + kp - 1)
+    xp = jnp.pad(x, ((0, 0), (lo, Tp - T - lo), (0, 0)))
+    xf = xp.reshape(B, Tp // r, r * C_in)
+    wf = jnp.zeros((kp, r * C_in, r * C_out), weight.dtype)
+    for p in range(r):
+        for k in range(K):
+            m, q = divmod(p + k * d, r)
+            wf = wf.at[
+                m, q * C_in : (q + 1) * C_in, p * C_out : (p + 1) * C_out
+            ].set(weight[k])
+    outf = jax.lax.conv_general_dilated(
+        xf,
+        wf,
+        window_strides=(1,),
+        padding=((0, 0),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    out = outf.reshape(B, r * F, C_out)[:, :t_out]
+    if bias is not None:
+        out = _bias_add(out, bias)
+    return out
+
+
 def conv1d(
     x,
     weight,
@@ -353,6 +427,12 @@ def conv1d(
     if input_leaky is not None:
         x = leaky_relu(x, input_leaky)
     out = None
+    if _FOLD_PACK_MODE == "1" and stride == 1 and groups == 1 and 2 <= K <= 5:
+        rk = _fold_pack_factor(K, in_pg, C_out, dilation)
+        if rk is not None:
+            return _conv1d_fold_packed(
+                x, weight, bias, lo, hi, dilation, rk[0], rk[1]
+            )
     # NB: widening this to cover C_in 24 -> C_out 48 shapes was tried twice
     # (both tap-operand layouts) and regressed the training backward ~7%;
     # the square <=32-channel gate is the measured optimum.
