@@ -88,11 +88,27 @@ def _window(xl, xm, xr, t, S, T_src, slope):
 
 
 def _taps(W, K, d, lo, S, with_ones):
-    """(2H+S, C) window -> (S, K*C [+1]) tap operand, lane-axis concat."""
-    cols = [
-        jax.lax.slice_in_dim(W, _HALO - lo + k * d, _HALO - lo + k * d + S)
-        for k in range(K)
-    ]
+    """(2H+S, C) window -> (S, K*C [+1]) tap operand, lane-axis concat.
+
+    Each tap column is built by rotating the window so the tap's start row
+    lands at row 0, then slicing rows [0, S). Slicing at the shifted start
+    directly (slice_in_dim(W, start, start+S)) gives every column a
+    different sublane offset, and Mosaic's tpu.concatenate cannot relayout
+    offset-mismatched inputs on the non-concat dim ("result/input offset
+    mismatch", observed on a real v5e). After the rotate all columns are
+    offset-0, so the lane-axis concat lowers cleanly. No wraparound rows
+    can reach the slice: shift <= H + (K-1)*d <= 2*H for every supported
+    config, so rows [0, S) of the rotated window are original rows
+    [shift, shift+S) <= 2H+S.
+    """
+    L = W.shape[0]
+    cols = []
+    for k in range(K):
+        shift = _HALO - lo + k * d
+        # pltpu.roll takes a non-negative rotate-forward amount; forward by
+        # L - shift == backward by shift.
+        Wr = pltpu.roll(W, L - shift, 0) if shift else W
+        cols.append(jax.lax.slice_in_dim(Wr, 0, S))
     if with_ones:
         cols.append(jnp.ones((S, 1), W.dtype))
     return jnp.concatenate(cols, axis=-1)
