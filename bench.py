@@ -281,6 +281,16 @@ def main():
 
     peak, device_kind = device_peak_bf16()
 
+    # Decide the conv lowering EAGERLY, before any step function traces:
+    # round 2's numbers were silently XLA-fallback because the auto-mode
+    # Pallas self-check first fired inside the jit trace and died on
+    # tracers (VERDICT r2 weak #1). The active lowering is recorded in the
+    # output JSON so every number is attributable.
+    from svcc23_fastsvc_tpu.ops.conv import decide_conv_lowering
+
+    conv_lowering = decide_conv_lowering()
+    print(f"conv lowering: {conv_lowering}", file=__import__("sys").stderr)
+
     task = build_task(sr)
     state = task.init_state(jax.random.PRNGKey(0))
     batch = make_batch(jax.random.PRNGKey(1), B, Tf, hop)
@@ -407,6 +417,7 @@ def main():
         ),
         "b02_vocoder_bf16_audio_s_per_s_per_chip": round(voc_tput, 1),
         "b02_vocoder_mfu": round(voc_mfu, 4) if voc_mfu is not None else None,
+        "conv_lowering": conv_lowering,
         "batch": B,
         "compile_s": round(gan_compile, 1),
         "device": device_kind,

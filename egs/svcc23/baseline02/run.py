@@ -72,7 +72,7 @@ def main():
                         "ranges and the conversion stats)")
     p.add_argument("--speakers", nargs="*", default=["IDM1"])
     p.add_argument("--cmd", default="local",
-                   choices=["local", "ssh", "slurm"],
+                   choices=["local", "ssh", "slurm", "sge"],
                    help="launcher backend for job arrays (cmd.sh role)")
     p.add_argument("--n-jobs", type=int, default=1,
                    help="stage 1 feature-extraction array width")

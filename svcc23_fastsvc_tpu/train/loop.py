@@ -129,6 +129,11 @@ class Trainer:
                                                    donate=True)
                 self._gan_step = jit_train_step_dp(task.gan_step, mesh,
                                                    donate=True)
+            from ..ops.conv import decide_conv_lowering
+
+            self.conv_lowering = decide_conv_lowering()
+            logging.info("conv lowering (%s DP): %s", dp_impl,
+                         self.conv_lowering)
             if self.multihost:
                 # each process feeds its local rows of the global batch
                 from ..parallel import global_batch
@@ -137,6 +142,14 @@ class Trainer:
             else:
                 self._shard = lambda b: shard_batch(b, mesh)
         else:
+            # Decide the conv lowering eagerly: the auto-mode Pallas probe
+            # must run before the step functions trace, both so its own
+            # compile cost stays out of the trace and so the verdict is in
+            # place when the traced conv1d calls dispatch (VERDICT r2 #1).
+            from ..ops.conv import decide_conv_lowering
+
+            self.conv_lowering = decide_conv_lowering()
+            logging.info("conv lowering: %s", self.conv_lowering)
             self._gen_step, self._gan_step = task.jit_steps(donate=True)
             self._shard = lambda b: b
         # K steps per device dispatch (lax.scan) — amortizes dispatch latency.
@@ -182,7 +195,25 @@ class Trainer:
                     make_multi_step(task.gan_step), donate_argnums=(0,)
                 )
                 self._shard_stacked = lambda b: b
-        self._eval_step = jax.jit(lambda s, b: task.eval_step(s, b))
+        # Two eval variants, phase-selected in _evaluate: the reference's
+        # eval computes adversarial/D terms only once the discriminator has
+        # started training (train_fastsvc.py gates on the same step count);
+        # warm-up eval is STFT-only. with_adv is a static (python) arg, so
+        # each variant is its own compiled program. Tasks whose eval_step
+        # has no phase dependence (B02's is always aux-only) compile once.
+        import inspect
+
+        if "with_adv" in inspect.signature(task.eval_step).parameters:
+            self._eval_step_warmup = jax.jit(
+                lambda s, b: task.eval_step(s, b, with_adv=False)
+            )
+            self._eval_step_adv = jax.jit(
+                lambda s, b: task.eval_step(s, b, with_adv=True)
+            )
+        else:
+            self._eval_step_warmup = self._eval_step_adv = jax.jit(
+                lambda s, b: task.eval_step(s, b)
+            )
         # metrics stay on device until the log flush so _train_step never
         # blocks on a transfer (keeps async dispatch fully pipelined)
         self._pending = []
@@ -356,8 +387,12 @@ class Trainer:
     def _evaluate(self, step):
         totals = defaultdict(float)
         n = 0
+        d_start = self.config.get("discriminator_train_start_steps", 0)
+        eval_fn = (
+            self._eval_step_adv if step > d_start else self._eval_step_warmup
+        )
         for batch in self.dev_batcher:
-            metrics = self._eval_step(self.state, self._shard(batch))
+            metrics = eval_fn(self.state, self._shard(batch))
             for k, v in metrics.items():
                 totals[k] += float(jax.device_get(v))
             n += 1

@@ -28,6 +28,13 @@ Backends:
     ``--proc-id {job}`` and a shared coordinator.
   * ``slurm`` — one ``sbatch --array=0-(N-1) --wait`` submission
     (slurm.pl's role); ``$SLURM_ARRAY_TASK_ID`` becomes ``{job}``.
+  * ``sge`` — one ``qsub -t 1-N -sync y`` submission (queue.pl's role,
+    /root/reference/utils/queue.pl; default qsub options mirror its
+    "command qsub -v PATH -cwd -S /bin/bash -j y" template line,
+    queue.pl:171). SGE task ids are 1-based; the generated script maps
+    ``$((SGE_TASK_ID - 1))`` onto the 0-based ``{job}`` and self-redirects
+    to the same ``<log_dir>/<name>.<job>.log`` naming as every other
+    backend. ``max_parallel`` becomes ``-tc`` (queue.pl's max_jobs_run).
 
 The training CLIs themselves stay launcher-agnostic: they take
 ``--n-procs/--proc-id/--coordinator`` and call jax.distributed (SURVEY.md
@@ -182,13 +189,72 @@ def _launch_slurm(argv, n_jobs, *, log_dir, name, max_parallel, env, cwd,
     return results
 
 
+def _launch_sge(argv, n_jobs, *, log_dir, name, max_parallel, env, cwd,
+                qsub_bin, qsub_args):
+    run_dir = cwd or os.getcwd()
+    # {job} becomes the 0-based $JOB derived from 1-based $SGE_TASK_ID
+    words = []
+    for a in argv:
+        a = str(a).replace("{n_jobs}", str(n_jobs))
+        if "{job}" in a:
+            esc = (a.replace("\\", "\\\\").replace('"', '\\"')
+                   .replace("$", "\\$").replace("`", "\\`"))
+            words.append('"' + esc.replace("{job}", "${JOB}") + '"')
+        else:
+            words.append(shlex.quote(a))
+    exports = "\n".join(
+        f"export {k}={shlex.quote(v)}" for k, v in (env or {}).items()
+    )
+    script_path = os.path.join(log_dir, f"{name}.qsub.sh")
+    log_base = os.path.join(log_dir, name)
+    with open(script_path, "w") as f:
+        # header mirrors queue.pl's default qsub template (-cwd -S /bin/bash
+        # -j y, queue.pl:171); stdout/stderr self-redirect to the per-job
+        # log so naming matches the other backends, with qsub's own streams
+        # parked in log_dir as a fallback for pre-exec failures.
+        f.write("#!/bin/bash\n"
+                f"#$ -N {name}\n"
+                "#$ -cwd\n"
+                "#$ -S /bin/bash\n"
+                "#$ -j y\n"
+                f"#$ -o {log_dir}\n"
+                "JOB=$((SGE_TASK_ID - 1))\n"
+                f"exec > {shlex.quote(log_base)}.${{JOB}}.log 2>&1\n"
+                f"cd {shlex.quote(run_dir)}\n"
+                f"{exports}\n"
+                f"exec {' '.join(words)}\n")
+    submit = [qsub_bin, "-terse", "-sync", "y", "-t", f"1-{n_jobs}"]
+    if max_parallel:
+        submit += ["-tc", str(max_parallel)]
+    submit += [*qsub_args, script_path]
+    proc = subprocess.run(submit, capture_output=True, text=True)
+    results = [
+        JobResult(job=j, returncode=proc.returncode,
+                  log=f"{log_base}.{j}.log")
+        for j in range(n_jobs)
+    ]
+    if proc.returncode != 0:
+        # -sync y exits nonzero if any task failed; surface the first log
+        # tail like run.pl does
+        tails = "\n".join(
+            f"--- {r.log} tail ---\n{_tail(r.log)}" for r in results[:1]
+        )
+        raise RuntimeError(
+            f"qsub -sync y failed (rc {proc.returncode}) for '{name}':\n"
+            f"{proc.stdout}\n{proc.stderr}\n{tails}"
+        )
+    return results
+
+
 def launch(argv: Sequence[str], n_jobs: int, *, backend: str = "local",
            log_dir: str, name: str = "job",
            max_parallel: Optional[int] = None,
            env: Optional[dict] = None, cwd: Optional[str] = None,
            hosts: Optional[Sequence[str]] = None, ssh_bin: str = "ssh",
            sbatch_bin: str = "sbatch",
-           sbatch_args: Sequence[str] = ()) -> list:
+           sbatch_args: Sequence[str] = (),
+           qsub_bin: str = "qsub",
+           qsub_args: Sequence[str] = ()) -> list:
     """Run ``argv`` as an n_jobs array; block until all jobs finish.
 
     ``{job}``/``{n_jobs}`` placeholders in argv elements are substituted per
@@ -214,5 +280,9 @@ def launch(argv: Sequence[str], n_jobs: int, *, backend: str = "local",
         return _launch_slurm(argv, n_jobs, log_dir=log_dir, name=name,
                              max_parallel=max_parallel, env=env, cwd=cwd,
                              sbatch_bin=sbatch_bin, sbatch_args=sbatch_args)
+    if backend == "sge":
+        return _launch_sge(argv, n_jobs, log_dir=log_dir, name=name,
+                           max_parallel=max_parallel, env=env, cwd=cwd,
+                           qsub_bin=qsub_bin, qsub_args=qsub_args)
     raise ValueError(f"unknown launcher backend: {backend!r} "
-                     "(expected local | ssh | slurm)")
+                     "(expected local | ssh | slurm | sge)")

@@ -31,6 +31,27 @@ def mel_l1(x, y, *, sr: int = 16000, n_fft: int = 1024, hop: int = 256,
     return jnp.mean(jnp.abs(mx - my))
 
 
+def wav_mcd(x, y, *, sr: int = 16000, n_fft: int = 1024, hop: int = 256,
+            order: int = 24):
+    """Mel-cepstral distortion (dB) between two aligned waveforms.
+
+    Mel-cepstra are computed per frame from the STFT power spectrum via
+    pysptk-semantics sp2mc (dsp/world.py) with the standard all-pass warp
+    for the sample rate — the same mcep definition the B02 recipe trains on
+    (reference preprocess_b02.py:287). Frames are aligned by index (decode
+    outputs are time-aligned with their references by construction).
+    """
+    from ..dsp.world import mcepalpha, sp2mc
+
+    T = min(x.shape[-1], y.shape[-1])
+    alpha = mcepalpha(sr)
+    px = stft_magnitude(x[..., :T], n_fft, hop, n_fft, power=True,
+                        clamp_min=1e-10)
+    py = stft_magnitude(y[..., :T], n_fft, hop, n_fft, power=True,
+                        clamp_min=1e-10)
+    return mcd(sp2mc(px, order, alpha), sp2mc(py, order, alpha))
+
+
 def mcd(mcep_x, mcep_y, *, exclude_c0: bool = True):
     """Mel-cepstral distortion in dB between (F, M) mel-cepstra."""
     F = min(len(mcep_x), len(mcep_y))

@@ -112,3 +112,54 @@ done
 def test_unknown_backend(tmp_path):
     with pytest.raises(ValueError):
         launch(["true"], 1, backend="mpi", log_dir=str(tmp_path))
+
+def test_sge_backend_via_stub(tmp_path):
+    """Stub `qsub -sync y -t 1-N` parses the task range from its args and
+    runs every task locally with the 1-based SGE_TASK_ID set (queue.pl's
+    contract: /root/reference/utils/queue.pl, cmd.sh:30-92)."""
+    stub = tmp_path / "qsub"
+    _write_exe(stub, r"""#!/bin/bash
+range=""
+while [ $# -gt 1 ]; do
+  case "$1" in
+    -t) range="$2"; shift 2 ;;
+    -sync|-tc) shift 2 ;;
+    -terse) shift ;;
+    *) shift ;;
+  esac
+done
+script="$1"
+lo=${range%-*}; hi=${range#*-}
+for i in $(seq $lo $hi); do
+  SGE_TASK_ID=$i bash "$script" || exit 1
+done
+""")
+    out = tmp_path / "out"
+    out.mkdir()
+    results = launch(
+        [sys.executable, "-c",
+         "import sys,pathlib; pathlib.Path(sys.argv[1], sys.argv[2]).write_text('ok'); print('ran', sys.argv[2])",
+         str(out), "{job}"],
+        n_jobs=3, backend="sge", qsub_bin=str(stub),
+        log_dir=str(tmp_path / "log"), name="q", max_parallel=2,
+        env={"MYVAR": "a b"},
+    )
+    assert len(results) == 3
+    # SGE_TASK_ID 1..3 mapped to 0-based {job}
+    assert sorted(os.listdir(out)) == ["0", "1", "2"]
+    script = (tmp_path / "log" / "q.qsub.sh").read_text()
+    assert "SGE_TASK_ID - 1" in script
+    assert "export MYVAR='a b'" in script
+    for j in range(3):
+        log = tmp_path / "log" / f"q.{j}.log"
+        assert f"ran {j}" in log.read_text()
+
+
+def test_sge_backend_failure_contract(tmp_path):
+    stub = tmp_path / "qsub"
+    _write_exe(stub, "#!/bin/bash\nexit 1\n")
+    with pytest.raises(RuntimeError, match="qsub -sync y failed"):
+        launch(
+            ["true"], n_jobs=2, backend="sge", qsub_bin=str(stub),
+            log_dir=str(tmp_path / "log"), name="qf",
+        )

@@ -392,73 +392,6 @@ def test_conv1d_einsum_window_entirely_outside_input():
                                rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("K,dil,pad,Cin,Cout,T,use_bias", [
-    (3, 1, 1, 24, 24, 95, True),    # generator d=1 residual conv (r=5, K'=2)
-    (3, 1, 1, 24, 48, 100, True),   # FiLM-ish widening conv (r=2, K'=2)
-    (3, 2, 2, 24, 24, 63, False),   # d=2 still folds at r=5
-    (5, 1, 2, 16, 16, 80, True),    # K=5 at r=8 folds to K'=2
-    (3, 1, (0, 2), 24, 24, 64, True),  # asymmetric padding
-])
-def test_conv1d_fold_packed_matches_torch(K, dil, pad, Cin, Cout, T, use_bias):
-    """Fold-packed (B, T/r, r*C) lowering vs torch, forward + all grads."""
-    from svcc23_fastsvc_tpu.ops.conv import (
-        _fold_pack_factor,
-        set_fold_pack_mode,
-    )
-
-    assert _fold_pack_factor(K, Cin, Cout, dil) is not None
-    B = 2
-    x = RNG.standard_normal((B, T, Cin)).astype(np.float32)
-    w = RNG.standard_normal((Cout, Cin, K)).astype(np.float32) * 0.2
-    b = RNG.standard_normal((Cout,)).astype(np.float32) if use_bias else None
-
-    xt = _t(x).requires_grad_(True)
-    wt = torch.from_numpy(w).requires_grad_(True)
-    bt = torch.from_numpy(b).requires_grad_(True) if use_bias else None
-    # torch F.pad takes (left, right) on the last dim == our (lo, hi)
-    xp = xt if isinstance(pad, int) else F.pad(xt, tuple(pad))
-    ref = F.conv1d(xp, wt, bt, padding=pad if isinstance(pad, int) else 0,
-                   dilation=dil)
-    g = RNG.standard_normal(tuple(ref.shape)).astype(np.float32)
-    ref.backward(torch.from_numpy(g))
-
-    set_fold_pack_mode("1")
-    try:
-        wj = jnp.asarray(w.transpose(2, 1, 0))
-        bj = jnp.asarray(b) if use_bias else None
-        args = (jnp.asarray(x), wj) + ((bj,) if use_bias else (None,))
-
-        def run(x_, w_, b_):
-            return conv1d(x_, w_, b_, padding=pad, dilation=dil)
-
-        out = jax.jit(run)(*args)
-        np.testing.assert_allclose(np.asarray(out), _from_t(ref),
-                                   rtol=1e-4, atol=1e-5)
-        gj = jnp.asarray(np.moveaxis(g, 1, -1))
-        argnums = (0, 1, 2) if use_bias else (0, 1)
-        grads = jax.jit(jax.grad(
-            lambda *a: jnp.sum(run(*a, *(() if use_bias else (None,))) * gj),
-            argnums=argnums,
-        ))(*args[: len(argnums)])
-    finally:
-        set_fold_pack_mode("0")
-
-    np.testing.assert_allclose(np.asarray(grads[0]), _from_t(xt.grad),
-                               rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(
-        np.asarray(grads[1]),
-        wt.grad.numpy().transpose(2, 1, 0), rtol=1e-4, atol=1e-4)
-    if use_bias:
-        np.testing.assert_allclose(np.asarray(grads[2]), bt.grad.numpy(),
-                                   rtol=1e-4, atol=1e-4)
-
-
-def test_fold_pack_factor_gate():
-    """Ineligible shapes must fall through (no win when K' >= K)."""
-    from svcc23_fastsvc_tpu.ops.conv import _fold_pack_factor
-
-    assert _fold_pack_factor(3, 24, 24, 27) is None      # huge dilation
-    assert _fold_pack_factor(3, 96, 96, 1) is None       # r would be 1
-    assert _fold_pack_factor(3, 24, 24, 1) == (5, 2)
-    assert _fold_pack_factor(3, 48, 48, 1) == (2, 2)
-    assert _fold_pack_factor(3, 24, 24, 2) == (5, 2)
+# The round-2 fold-packed lowering and its tests were deleted after the
+# round-3 chip A/B measured it losing to the einsum baseline (171.3 vs
+# 97.7 ms/step bf16 on a v5e; see ops/conv.py and tools/chip_ab.py).

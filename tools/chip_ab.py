@@ -4,13 +4,11 @@ sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))
 import jax, jax.numpy as jnp
 p = argparse.ArgumentParser()
 p.add_argument("--mode", default="0")        # FASTSVC_PALLAS_CONV mode
-p.add_argument("--fold-pack", default="0")   # FASTSVC_FOLD_PACK mode
 p.add_argument("--what", default="train")    # train | synth
 p.add_argument("--dtype", default="bf16")
 args = p.parse_args()
-from svcc23_fastsvc_tpu.ops.conv import set_fold_pack_mode, set_pallas_conv_mode
+from svcc23_fastsvc_tpu.ops.conv import set_pallas_conv_mode
 set_pallas_conv_mode(args.mode)
-set_fold_pack_mode(args.fold_pack)
 from bench import build_task, make_batch, time_train, time_synth
 dt = jnp.bfloat16 if args.dtype == "bf16" else None
 B, sr, hop = 32, 24000, 160
@@ -20,7 +18,7 @@ if args.what == "train":
     state = task.init_state(jax.random.PRNGKey(0))
     batch = make_batch(jax.random.PRNGKey(1), B, Tf, hop)
     t, tb, _ = time_train(task.gan_step, state, batch, k1=10, k2=40, reps=3)
-    print(f"AB mode={args.mode} fp={args.fold_pack} {args.dtype} gan_step: "
+    print(f"AB mode={args.mode} {args.dtype} gan_step: "
           f"{t*1e3:.2f} ms/step ({B / t:.0f} audio-s/s)", flush=True)
 else:
     import dataclasses
@@ -38,5 +36,5 @@ else:
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
             syn_args)
     t = time_synth(generator.apply, syn_args, k1=10, k2=40, reps=3)
-    print(f"AB mode={args.mode} fp={args.fold_pack} {args.dtype} synthesis: "
+    print(f"AB mode={args.mode} {args.dtype} synthesis: "
           f"{(sb * Tf * hop / sr) / t:.0f} audio-s/s", flush=True)
