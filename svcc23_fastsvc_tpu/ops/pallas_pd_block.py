@@ -132,11 +132,13 @@ def _halo_specs(S, H, C, T_src):
     ]
 
 
-def _pick_tile(hop: int, H: int) -> int:
-    """Tile = a multiple of the halo (block-index alignment) near ~2k rows
-    (short per-frame slice loop, enough grid steps for DMA pipelining).
-    H is hop-aligned, so the tile is automatically frame-aligned."""
-    return H * max(1, -(-1536 // H))
+def _pick_tile(hop: int, H: int, target: int = 1536) -> int:
+    """Tile = a multiple of the halo (block-index alignment) near `target`
+    rows. H is hop-aligned, so the tile is automatically frame-aligned.
+    Larger tiles amortize per-grid-step overhead, but the adaptive kernel
+    OOMs scoped VMEM above ~2k rows (window + two gather buffers + f32
+    gate temporaries); the fixed kernel's lighter footprint takes ~4k."""
+    return H * max(1, -(-target // H))
 
 
 def pd_block_halo(dilation: int, fs: int, dense: int = 4,
@@ -152,24 +154,26 @@ def pd_block_halo(dilation: int, fs: int, dense: int = 4,
     return g * max(1, -(-reach // g))
 
 
-def _fixed_kernel(xl, xm, xr, c, w0, w1, w2, wA, bg, wO, bO, y, W,
+def _fixed_kernel(xm, xr, c, w0, w1, w2, wA, bg, wO, bO, y, W,
                   *, S, H, dil, T_in, T_out):
     t = pl.program_id(1)
     R = xm.shape[-1]
-    W[0:H] = xl[0]
-    W[H : H + S] = xm[0]
-    W[H + S : 2 * H + S] = xr[0]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (2 * H + S, R), 0) + (t * S - H)
-    W[...] = jnp.where((pos >= 0) & (pos < T_in), W[...], jnp.zeros_like(W))
+    # window = [main | right halo]: the VALID conv's taps sit at offsets
+    # 0, dil, 2*dil from the output row, so the left halo is never read —
+    # dropping it halves the halo DMA traffic.
+    W[0:S] = xm[0]
+    W[S : S + H] = xr[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (S + H, R), 0) + t * S
+    W[...] = jnp.where(pos < T_in, W[...], jnp.zeros_like(W))
 
     # VALID conv over the reflect-padded input: output row g reads padded
     # rows g + k*dil (static unaligned window slices); the center tap is
     # also the residual (x_pad[g + pad] == x[g] for pad = dil, K = 3).
-    xC = W[H + dil : H + dil + S, :]
+    xC = W[dil : dil + S, :]
     h = (
-        _dot(W[H : H + S, :], w0[...])
+        _dot(W[0:S, :], w0[...])
         + _dot(xC, w1[...])
-        + _dot(W[H + 2 * dil : H + 2 * dil + S, :], w2[...])
+        + _dot(W[2 * dil : 2 * dil + S, :], w2[...])
         + _dot(c[0], wA[...])
         + bg[...].astype(jnp.float32)
     )
@@ -201,7 +205,7 @@ def pd_fixed_block(x_pad, c, params, *, dilation: int, halo: int):
     T = T_in - 2 * dilation
     A = c.shape[-1]
     H = halo
-    S = _pick_tile(1, H)
+    S = _pick_tile(1, H, target=4096)
     nT = -(-T // S)
     w = params["conv"]["w"]
     wA = params["aux"]["w"][0]
@@ -214,12 +218,24 @@ def pd_fixed_block(x_pad, c, params, *, dilation: int, halo: int):
         pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
                      memory_space=pltpu.VMEM)
     ]
+    n_s = max(-(-T_in // S), 1)
+    n_h = max(-(-T_in // H), 1)
+    r = S // H
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, T, R), x_pad.dtype),
         grid=(B, nT),
-        in_specs=_halo_specs(S, H, R, T_in)
-        + [
+        in_specs=[
+            pl.BlockSpec(
+                (1, S, R),
+                lambda b, t: (b, jnp.minimum(t, n_s - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, H, R),
+                lambda b, t: (b, jnp.minimum((t + 1) * r, n_h - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((1, S, A), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
         ]
@@ -228,10 +244,10 @@ def pd_fixed_block(x_pad, c, params, *, dilation: int, halo: int):
         out_specs=pl.BlockSpec((1, S, R), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2 * H + S, R), x_pad.dtype),
+            pltpu.VMEM((S + H, R), x_pad.dtype),
         ],
         interpret=_interpret(),
-    )(x_pad, x_pad, x_pad, c, w[0], w[1], w[2], wA, bg, wO, bO)
+    )(x_pad, x_pad, c, w[0], w[1], w[2], wA, bg, wO, bO)
 
 
 def pd_adaptive_block(x, c, shifts, params, *, hop: int, halo: int):
