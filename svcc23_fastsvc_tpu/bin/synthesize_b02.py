@@ -48,7 +48,7 @@ def build_vocoder(cfg: dict) -> HNUSFGANGenerator:
 
 
 def synthesize_b02(dumpdir: str, outdir: str, *, config: dict, params,
-                   pad_frames: int = 0):
+                   pad_frames: int = 0, infer_dtype: str = "float32"):
     model = build_vocoder(config)
     sg_cfg = config.get("signal_generator", {})
     sig_gen = SignalGenerator(
@@ -68,7 +68,19 @@ def synthesize_b02(dumpdir: str, outdir: str, *, config: dict, params,
         dense_factor=config.get("dense_factor", 4),
         return_utt_id=True,
     )
-    fwd = jax.jit(lambda p, x, c, d: model.apply(p, x, c, d))
+    # --infer-dtype bf16 mirrors decode_fastsvc: params/inputs cast to
+    # bf16 (the mixed-precision class the chip bench uses), f32 output.
+    dt = jnp.bfloat16 if infer_dtype == "bfloat16" else jnp.float32
+    if dt == jnp.bfloat16:
+        params = jax.tree.map(
+            lambda v: v.astype(dt) if v.dtype == jnp.float32 else v, params
+        )
+
+    def _fwd(p, x, c, d):
+        y, s_ = model.apply(p, x.astype(dt), c.astype(dt), d)
+        return y.astype(jnp.float32), s_
+
+    fwd = jax.jit(_fwd)
 
     os.makedirs(outdir, exist_ok=True)
     total_audio, total_wall = 0.0, 0.0
@@ -106,6 +118,9 @@ def main(argv=None):
     parser.add_argument("--outdir", required=True)
     parser.add_argument("--checkpoint-dir", required=True,
                         help="vocoder checkpoint dir w/ config.yml")
+    parser.add_argument("--infer-dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="vocoder compute dtype (bfloat16 = chip bench)")
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args(argv)
     setup_logging(args.verbose)
@@ -120,7 +135,8 @@ def main(argv=None):
     params, step = load_checkpoint(args.checkpoint_dir, target)
     logging.info("loaded vocoder params from step %d", step)
     params = fold_weight_norm(params)
-    synthesize_b02(args.dumpdir, args.outdir, config=cfg, params=params)
+    synthesize_b02(args.dumpdir, args.outdir, config=cfg, params=params,
+                   infer_dtype=args.infer_dtype)
 
 
 if __name__ == "__main__":

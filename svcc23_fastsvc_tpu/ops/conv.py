@@ -43,7 +43,8 @@ _EINSUM_LOWERING_MAX_CHANNELS = int(
 # overhead, and XLA pipelines the equivalent tap matmuls across the whole
 # (B*T) batch far better than the sequential pallas grid. Mosaic also
 # rejects bf16 rotates and bf16 comparisons outright, and the roll-free
-# per-tap-dot rewrite still fails the on-chip numerics probe. The kernel
+# per-tap-dot rewrite both fails the on-chip numerics probe AND loses the
+# forward-only synthesis A/B 5.9x (756 vs 4431 audio-s/s bf16). The kernel
 # is kept (interpret-validated, probe-gated) as measured research code;
 # the production lowering is the taps einsum + custom matmul-form VJP
 # below, which is what every BENCH_r03 number uses.
