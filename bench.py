@@ -364,7 +364,7 @@ def main():
 
     # decide the fused-block lowering eagerly (same discipline as the conv
     # gate: the probe must not first fire inside the jit trace)
-    pd_lowering = "pallas-fused" if _pd_mode_on() else "xla"
+    pd_lowering = ("pallas-fused" if _pd_mode_on(jnp.bfloat16) else "xla")
     print(f"b02 pd-block lowering: {pd_lowering}",
           file=__import__("sys").stderr)
 
@@ -402,10 +402,10 @@ def main():
     # Save/restore the gate state directly so the probe isn't re-run.
     import svcc23_fastsvc_tpu.models.hnusfgan as _hn
 
-    _saved = (_hn._PALLAS_PD_MODE, _hn._PALLAS_PD_VALIDATED)
-    _hn._PALLAS_PD_MODE, _hn._PALLAS_PD_VALIDATED = "0", None
+    _saved = _hn._PALLAS_PD_MODE
+    _hn._PALLAS_PD_MODE = "0"
     voc_flops = flops_of(jax.jit(voc_fwd), *voc_args)
-    _hn._PALLAS_PD_MODE, _hn._PALLAS_PD_VALIDATED = _saved
+    _hn._PALLAS_PD_MODE = _saved
     voc_t = time_synth(voc_fwd, voc_args, k1=max(2, args.k1 // 5),
                        k2=max(6, args.k2 // 5), reps=args.reps)
     voc_tput = (vb * vTf * voc_hop / sr) / voc_t

@@ -38,30 +38,39 @@ from ..ops.resample import nearest_upsample
 # backend is a real TPU and the on-device self-check passes. Inference-only
 # (no VJP); the vocoder is a frozen pretrained model in this pipeline.
 _PALLAS_PD_MODE = _os.environ.get("FASTSVC_PALLAS_PD", "auto")
-_PALLAS_PD_VALIDATED = None
+# per-dtype probe verdicts: round 3 proved Mosaic lowerings are
+# dtype-DEPENDENT (bf16 rotates/comparisons rejected where f32 compiles),
+# so a bf16-validated kernel says nothing about the f32 path the
+# synthesize CLI defaults to — each compute dtype is probed on first use.
+# Measured verdicts on a v5e: bf16 PASSES (the recommended --infer-dtype);
+# f32 FAILS at f32-tight tolerance and falls back to XLA — the kernel's
+# MXU dots truncate f32 inputs to bf16 (default matmul precision) while
+# XLA's K=1 conv lowering computes full-precision f32, so enabling the
+# kernel would silently demote f32 synthesis to TF32-class numerics.
+_PALLAS_PD_VALIDATED: dict = {}
 
 
 def set_pallas_pd_mode(mode: str) -> None:
     if mode not in ("0", "1", "auto"):
         raise ValueError(f"bad pallas pd mode: {mode!r}")
-    global _PALLAS_PD_MODE, _PALLAS_PD_VALIDATED
+    global _PALLAS_PD_MODE
     _PALLAS_PD_MODE = mode
-    _PALLAS_PD_VALIDATED = None
+    _PALLAS_PD_VALIDATED.clear()
 
 
-def _pd_selfcheck() -> bool:
-    """On-device check of the fused blocks vs the XLA path (one bf16
-    production-shaped case per block type; compiles are minutes-class on
-    the tunnel, so exactly one jit per impl).
+def _pd_selfcheck(dtype) -> bool:
+    """On-device check of the fused blocks vs the XLA path (one
+    production-shaped case per block type at the requested compute dtype;
+    compiles are minutes-class on the tunnel, so exactly one jit per impl).
 
     Trace safety (the round-2 conv-gate lesson, VERDICT r2 weak #1): the
     first fused-eligible block apply usually happens inside a jit trace,
     where the probe's eager ops would be staged as tracers; run the probe
     body in a fresh thread there (JAX trace state is thread-local)."""
-    global _PALLAS_PD_VALIDATED
-    if _PALLAS_PD_VALIDATED is not None:
-        return _PALLAS_PD_VALIDATED
-    _PALLAS_PD_VALIDATED = False
+    key = jnp.dtype(dtype).name
+    if key in _PALLAS_PD_VALIDATED:
+        return _PALLAS_PD_VALIDATED[key]
+    _PALLAS_PD_VALIDATED[key] = False  # re-entrancy guard while probing
     import logging
 
     from ..ops.conv import _inside_trace
@@ -74,7 +83,7 @@ def _pd_selfcheck() -> bool:
 
             def _run():
                 try:
-                    out["ok"] = _pd_probe()
+                    out["ok"] = _pd_probe(dtype)
                 except BaseException as e:  # noqa: BLE001 — reported below
                     out["err"] = e
 
@@ -85,34 +94,36 @@ def _pd_selfcheck() -> bool:
                 raise out["err"]
             ok = out["ok"]
         else:
-            ok = _pd_probe()
-        _PALLAS_PD_VALIDATED = bool(ok)
+            ok = _pd_probe(dtype)
+        _PALLAS_PD_VALIDATED[key] = bool(ok)
         if not ok:
             logging.getLogger(__name__).warning(
-                "Pallas pd-block self-check FAILED numerics; using XLA path"
+                "Pallas pd-block self-check FAILED numerics (%s); "
+                "using XLA path", key,
             )
     except Exception as e:
         logging.getLogger(__name__).warning(
-            "Pallas pd-block self-check raised (%s: %s); using XLA path",
-            type(e).__name__, e,
+            "Pallas pd-block self-check raised (%s: %s, dtype %s); "
+            "using XLA path", type(e).__name__, e, key,
         )
-        _PALLAS_PD_VALIDATED = False
-    return _PALLAS_PD_VALIDATED
+        _PALLAS_PD_VALIDATED[key] = False
+    return _PALLAS_PD_VALIDATED[key]
 
 
-def _pd_probe() -> bool:
+def _pd_probe(dtype) -> bool:
     """The probe computation (must run in a clean, untraced context)."""
     import numpy as np
 
+    tol = 2e-2 if dtype == jnp.bfloat16 else 2e-4
     blk = AdaptiveBlock(residual_channels=64, gate_channels=128,
                         skip_channels=64, aux_channels=62,
                         use_weight_norm=False)
     params = blk.init(jax.random.PRNGKey(3))
-    params = jax.tree.map(lambda v: v.astype(jnp.bfloat16), params)
+    params = jax.tree.map(lambda v: v.astype(dtype), params)
     B, T, hop, dil = 2, 3200, 160, 4
     kx, kc, kd = jax.random.split(jax.random.PRNGKey(4), 3)
-    x = jax.random.normal(kx, (B, T, 64), jnp.float32).astype(jnp.bfloat16)
-    c = jax.random.normal(kc, (B, T, 62), jnp.float32).astype(jnp.bfloat16)
+    x = jax.random.normal(kx, (B, T, 64), jnp.float32).astype(dtype)
+    c = jax.random.normal(kc, (B, T, 62), jnp.float32).astype(dtype)
     d = jax.random.uniform(kd, (B, T // hop), jnp.float32) * 30 + 5
     d = jnp.repeat(d, hop, axis=1)
 
@@ -125,13 +136,13 @@ def _pd_probe() -> bool:
 
     y_ref = np.asarray(jax.jit(ref)(x, c, d), np.float32)
     y_fus = np.asarray(jax.jit(fused)(x, c, d), np.float32)
-    ok = bool(np.allclose(y_ref, y_fus, rtol=2e-2, atol=2e-2))
+    ok = bool(np.allclose(y_ref, y_fus, rtol=tol, atol=tol))
 
     # one fixed-block case (separate kernel, large dilation + reflect)
     fblk = FixedBlock(residual_channels=64, gate_channels=128,
                       skip_channels=64, aux_channels=62, dilation=64,
                       use_weight_norm=False)
-    fparams = jax.tree.map(lambda v: v.astype(jnp.bfloat16),
+    fparams = jax.tree.map(lambda v: v.astype(dtype),
                            fblk.init(jax.random.PRNGKey(5)))
     yf_ref = np.asarray(
         jax.jit(lambda x, c: fblk.apply(fparams, x, c))(x, c), np.float32
@@ -140,33 +151,34 @@ def _pd_probe() -> bool:
         jax.jit(lambda x, c: _fixed_fused_apply(fparams, x, c, 64))(x, c),
         np.float32,
     )
-    ok = ok and bool(np.allclose(yf_ref, yf_fus, rtol=2e-2, atol=2e-2))
+    ok = ok and bool(np.allclose(yf_ref, yf_fus, rtol=tol, atol=tol))
     return ok
 
 
-def _pd_mode_on() -> bool:
+def _pd_mode_on(dtype=jnp.bfloat16) -> bool:
     if _PALLAS_PD_MODE == "0":
         return False
     if _PALLAS_PD_MODE == "1":
         return True
     try:
-        return jax.default_backend() == "tpu" and _pd_selfcheck()
+        return jax.default_backend() == "tpu" and _pd_selfcheck(dtype)
     except Exception:
         return False
 
 
-def _pd_fused_enabled(params) -> bool:
-    """Gate: mode on/auto, folded (non-weight-norm) params with biases."""
+def _pd_fused_enabled(params, dtype=jnp.bfloat16) -> bool:
+    """Gate: mode on/auto (probed at the runtime compute dtype), folded
+    (non-weight-norm) params with biases."""
     p = params
     needed = ("convC", "convP", "convF", "aux", "out")
     if not all(k in p and "w" in p[k] for k in needed):
         return False
     if not all("b" in p[k] for k in ("convC", "convP", "convF", "out")):
         return False
-    return _pd_mode_on()
+    return _pd_mode_on(dtype)
 
 
-def _fixed_fused_enabled(params) -> bool:
+def _fixed_fused_enabled(params, dtype=jnp.bfloat16) -> bool:
     """Gate for the fused FixedBlock: folded params, K=3 conv with bias."""
     p = params
     if not all(k in p and "w" in p[k] for k in ("conv", "aux", "out")):
@@ -175,7 +187,7 @@ def _fixed_fused_enabled(params) -> bool:
         return False
     if p["conv"]["w"].shape[0] != 3:
         return False
-    return _pd_mode_on()
+    return _pd_mode_on(dtype)
 
 
 def _fixed_fused_apply(params, x, c, dilation: int):
@@ -419,7 +431,7 @@ class ResidualBlocks:
         for (kind, dil, blk), bp in zip(self._blocks(), p["blocks"]):
             if kind == "A":
                 if (hop > 0 and x.shape[1] % hop == 0
-                        and _pd_fused_enabled(bp)):
+                        and _pd_fused_enabled(bp, x.dtype)):
                     x = _pd_fused_apply(bp, x, c, d, dil, hop)
                 elif hop > 0:
                     xP, xF = pd_indexing_framewise(x, d, dil, hop)
@@ -428,7 +440,8 @@ class ResidualBlocks:
                     xP, xF = pd_indexing(x, d, dil)
                     x = blk.apply(bp, x, xP, xF, c)
             else:
-                if _fixed_fused_enabled(bp) and blk.dilation == dil:
+                if (_fixed_fused_enabled(bp, x.dtype)
+                        and blk.dilation == dil):
                     x = _fixed_fused_apply(bp, x, c, dil)
                 else:
                     x = blk.apply(bp, x, c)

@@ -145,8 +145,8 @@ def test_auto_probe_first_fires_inside_jit(monkeypatch):
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(pk, "_interpret", lambda: True)
-    set_pallas_pd_mode("auto")  # clears the cached verdict
-    assert m._PALLAS_PD_VALIDATED is None
+    set_pallas_pd_mode("auto")  # clears the cached verdicts
+    assert not m._PALLAS_PD_VALIDATED
 
     blk, params, x, c, d = _case(1, 3200, 160, 4)
 
@@ -155,7 +155,7 @@ def test_auto_probe_first_fires_inside_jit(monkeypatch):
         xP, xF = pd_indexing_framewise(x, d, 4, 160)
         ref = blk.apply(params, x, xP, xF, c)
         # route through the gated dispatch exactly as ResidualBlocks does
-        if m._pd_fused_enabled(params):
+        if m._pd_fused_enabled(params, x.dtype):
             out = m._pd_fused_apply(params, x, c, d, 4, 160)
         else:
             out = ref
@@ -163,7 +163,7 @@ def test_auto_probe_first_fires_inside_jit(monkeypatch):
 
     try:
         out, ref = f(x, c, d)
-        assert m._PALLAS_PD_VALIDATED is True
+        assert m._PALLAS_PD_VALIDATED.get("float32") is True
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
     finally:
