@@ -30,6 +30,48 @@ def setup_logging(verbose: int = 1):
         force=True,
     )
     honor_jax_platforms_env()
+    enable_compile_cache()
+
+
+def enable_compile_cache(cache_dir: str | None = None):
+    """Point JAX at a persistent on-disk compilation cache.
+
+    A preempted job (SIGTERM -> checkpoint -> exit 75 -> restart --resume)
+    otherwise recompiles every step program from scratch — exactly when fast
+    restart matters. Default location is ~/.cache/svcc23_fastsvc_tpu/jax_cache,
+    overridable with SVCC_JAX_CACHE_DIR (set it empty to disable).
+
+    Returns the cache dir in use, or None if disabled/unavailable.
+    """
+    if cache_dir is None:
+        cache_dir = os.environ.get("SVCC_JAX_CACHE_DIR")
+        if cache_dir == "":
+            return None
+        if cache_dir is None:
+            cache_dir = os.path.join(
+                os.path.expanduser("~"), ".cache", "svcc23_fastsvc_tpu",
+                "jax_cache",
+            )
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # step programs on the tunnel backend compile in tens of seconds;
+        # cache anything non-trivial
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # cache even on single-process CPU runs (tests/dev); default policy
+        # skips "cheap" programs on some versions
+        try:
+            jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", 0
+            )
+        except Exception:
+            pass
+        return cache_dir
+    except Exception as e:  # never fail a CLI over cache plumbing
+        logging.warning("compile cache unavailable: %s", e)
+        return None
 
 
 def honor_jax_platforms_env():

@@ -58,6 +58,11 @@ class FastSVCTrainTask:
     adv_loss_type: str = "mse"
     use_stft_loss: bool = True
     compute_dtype: Any = None  # e.g. jnp.bfloat16 for mixed precision
+    # FiLM fusion on no-grad forwards (D-input regeneration, dumps). The
+    # fusion only reassociates the scale/shift sums (parity-tested) but the
+    # convergence harness turns it off to keep the op order identical to
+    # the reference's plain forward.
+    fuse_film_inference: bool = True
     # Mesh axis to pmean gradients/metrics over. None for single-device and
     # GSPMD-sharded jits (where XLA derives the all-reduce from shardings);
     # set to the mesh axis name when the step runs under jax.shard_map
@@ -100,12 +105,23 @@ class FastSVCTrainTask:
         """Generator forward. inference=True uses the forward-optimized
         model variant (FiLM fusion) — only valid where no gradient flows
         through this call (the fusion is ~15% faster forward but slower
-        backward; numerics identical either way, parity-tested)."""
+        backward; numerics identical either way, parity-tested).
+
+        A precomputed batch["sine"] excitation takes precedence over the
+        in-step SignalGenerator (the reference's collater-built sine path,
+        train_fastsvc.py:545-546 — used by the convergence-parity harness
+        to feed bit-identical batches to both frameworks)."""
         import dataclasses
 
-        sine = self.signal_generator(batch["f0"], key)
+        sine = batch.get("sine")
+        if sine is None:
+            sine = self.signal_generator(batch["f0"], key)
         model = self.generator
-        if inference and getattr(model, "fuse_film", None) is False:
+        if (
+            inference
+            and self.fuse_film_inference
+            and getattr(model, "fuse_film", None) is False
+        ):
             model = dataclasses.replace(model, fuse_film=True)
         out = model.apply(
             self._cast(g_params),
