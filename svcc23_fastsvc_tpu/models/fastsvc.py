@@ -245,6 +245,13 @@ class FastSVCGenerator:
     # (decode / .inference / bench synthesis) and the train step keeps the
     # per-signal convs. Numerics are identical either way (parity-tested).
     fuse_film: bool = False
+    # Run the loudness and sine downsampling chains (identical shapes,
+    # reference fastsvc.py:269-287 builds two instances) as ONE vmapped
+    # program over a leading size-2 axis: every conv becomes a batched
+    # matmul with half the kernel count, and the two chains' nearest-
+    # downsample gathers share one fused pass. Numerics identical
+    # (vmap batches the same per-lane math; parity-tested).
+    stack_downsample: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "mid_channels", tuple(self.mid_channels))
@@ -321,14 +328,26 @@ class FastSVCGenerator:
 
         # Single pass over each downsampling chain, keeping every tap
         # (reference recomputes the chain prefix per upsampling block).
-        lft_taps, h = [], lft
-        for blk, bp in zip(downs, p["down_lft"]):
-            h = blk.apply(bp, h)
-            lft_taps.append(h)
-        sine_taps, h = [], sine
-        for blk, bp in zip(downs, p["down_sine"]):
-            h = blk.apply(bp, h)
-            sine_taps.append(h)
+        if self.stack_downsample:
+            h = jnp.stack([lft, sine])  # (2, B, T, 1)
+            lft_taps, sine_taps = [], []
+            for i, blk in enumerate(downs):
+                bp = jax.tree.map(
+                    lambda a, b: jnp.stack([a, b]),
+                    p["down_lft"][i], p["down_sine"][i],
+                )
+                h = jax.vmap(blk.apply)(bp, h)
+                lft_taps.append(h[0])
+                sine_taps.append(h[1])
+        else:
+            lft_taps, h = [], lft
+            for blk, bp in zip(downs, p["down_lft"]):
+                h = blk.apply(bp, h)
+                lft_taps.append(h)
+            sine_taps, h = [], sine
+            for blk, bp in zip(downs, p["down_sine"]):
+                h = blk.apply(bp, h)
+                sine_taps.append(h)
 
         x = ppg
         n = len(self.upsampling_scales)

@@ -191,13 +191,14 @@ def _fixed_fused_enabled(params, dtype=jnp.bfloat16) -> bool:
 
 
 def _fixed_fused_apply(params, x, c, dilation: int):
-    """Fused FixedBlock forward: one XLA reflect pad, then the fused
-    VALID-conv gated kernel (ops.pallas_pd_block.pd_fixed_block)."""
+    """Fused FixedBlock forward with the reflect pad fused into the
+    kernel's window assembly (ops.pallas_pd_block.pd_fixed_block) — no
+    (B, T+2*dil, R) XLA pad copy per block. Falls back to an explicit pad
+    + 32-alignment crop only for non-32-aligned T (production streams are
+    hop-160 aligned, so this never triggers in the pipeline)."""
     from ..ops.pallas_pd_block import fixed_block_halo, pd_fixed_block
 
-    pad = dilation  # (kernel_size - 1) // 2 * dilation for K = 3
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
-    return pd_fixed_block(xp, c, params, dilation=dilation,
+    return pd_fixed_block(x, c, params, dilation=dilation,
                           halo=fixed_block_halo(dilation))
 
 
@@ -441,7 +442,8 @@ class ResidualBlocks:
                     x = blk.apply(bp, x, xP, xF, c)
             else:
                 if (_fixed_fused_enabled(bp, x.dtype)
-                        and blk.dilation == dil):
+                        and blk.dilation == dil
+                        and x.shape[1] % 32 == 0):
                     x = _fixed_fused_apply(bp, x, c, dil)
                 else:
                     x = blk.apply(bp, x, c)

@@ -45,28 +45,42 @@ from .fastsvc import FiLMBlock
 
 def lstm_cell(p, x, h, c):
     """torch LSTMCell math; weights stored transposed ((in,4H)/(H,4H))."""
-    gates = x @ p["w_ih"] + p["b_ih"] + h @ p["w_hh"] + p["b_hh"]
+    gx = x @ p["w_ih"] + p["b_ih"]
+    return lstm_cell_from_gates(p, gx, h, c)
+
+
+def lstm_cell_from_gates(p, gx, h, c):
+    """LSTM cell given the precomputed input projection gx = x@w_ih + b_ih.
+
+    The hoisted form: when the whole input sequence is known up front
+    (encoder inputs, teacher-forced decoder inputs), x@w_ih for ALL
+    timesteps is ONE (B*T, 4H) MXU matmul outside the scan, and only the
+    sequentially-dependent h@w_hh recurrence stays inside. Same add
+    association as the reference's x@w_ih + b_ih + h@w_hh + b_hh."""
+    gates = gx + h @ p["w_hh"] + p["b_hh"]
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
     return h_new, c_new
 
 
-def _lstm_scan(p, xs, mask=None, reverse_flip=None):
+def _lstm_scan(p, xs, mask=None, unroll: int = 1):
     """Unidirectional LSTM over (B, T, D); mask (B, T) freezes state past
-    each length; returns (B, T, H)."""
+    each length; returns (B, T, H). The input projection runs hoisted as
+    one full-sequence matmul (see lstm_cell_from_gates)."""
     B = xs.shape[0]
     H = p["w_hh"].shape[0]
     h0 = jnp.zeros((B, H), xs.dtype)
     c0 = jnp.zeros((B, H), xs.dtype)
+    gx = xs @ p["w_ih"] + p["b_ih"]  # (B, T, 4H), one MXU pass
 
     def step(carry, inp):
         h, c = carry
         if mask is not None:
-            x_t, m_t = inp
+            gx_t, m_t = inp
         else:
-            x_t, m_t = inp, None
-        h_new, c_new = lstm_cell(p, x_t, h, c)
+            gx_t, m_t = inp, None
+        h_new, c_new = lstm_cell_from_gates(p, gx_t, h, c)
         if m_t is not None:
             m = m_t[:, None]
             h_new = jnp.where(m, h_new, h)
@@ -76,9 +90,9 @@ def _lstm_scan(p, xs, mask=None, reverse_flip=None):
             out = h_new
         return (h_new, c_new), out
 
-    xs_t = jnp.swapaxes(xs, 0, 1)  # (T, B, D)
-    inputs = (xs_t, jnp.swapaxes(mask, 0, 1)) if mask is not None else xs_t
-    _, outs = jax.lax.scan(step, (h0, c0), inputs)
+    gx_t = jnp.swapaxes(gx, 0, 1)  # (T, B, 4H)
+    inputs = (gx_t, jnp.swapaxes(mask, 0, 1)) if mask is not None else gx_t
+    _, outs = jax.lax.scan(step, (h0, c0), inputs, unroll=unroll)
     return jnp.swapaxes(outs, 0, 1)
 
 
@@ -106,6 +120,15 @@ def bilstm(p, xs, lengths=None):
     bwd_rev = _lstm_scan(p["bwd"], xs_rev, mask)
     bwd = _flip_within_lengths(bwd_rev, lengths)
     return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def _dropout_batched(key, x, rate: float):
+    """One dropout draw over a whole (B, T, D) tensor (the hoisted prenet
+    path); statistically identical to per-step draws, different stream."""
+    if rate <= 0.0 or key is None:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
 def batch_norm(x, p, *, train: bool, momentum: float = 0.1, eps: float = 1e-5,
@@ -334,7 +357,16 @@ class Tacotron2:
             enc = linear(jnp.concatenate([enc, se], axis=-1),
                          p["spk_emb_projection"])
 
-        # autoregressive decoder as one scan over time
+        # Autoregressive decoder as one scan over time, with every
+        # time-parallel matmul hoisted OUT of the scan (TPU-first: the
+        # sequential body is latency-bound — each hoisted matmul instead
+        # runs as one (B*T)-row MXU pass):
+        #   * teacher forcing: the fed-back frames are the (known) targets,
+        #     so the prenet AND cell-0's full input projection hoist;
+        #   * free-running: the encoder half of cell-0's input projection
+        #     hoists (x@W splits additively across the concat axis); the
+        #     prenet of the fed-back prediction stays inside;
+        #   * the output projection runs on the stacked scan outputs.
         H = self.hidden_dim
         n_dec = len(p["decs"])
         z0 = [jnp.zeros((B, H)) for _ in range(n_dec)]
@@ -342,46 +374,75 @@ class Tacotron2:
         prev0 = jnp.zeros((B, self.output_dim))
 
         dec_keys = jax.random.split(k_dec, T)
-        pre_keys = jax.random.split(k_pre, T)
+        cell0 = p["decs"][0]["cell"]
 
-        def step(carry, inp):
-            z_list, c_list, prev_out = carry
-            enc_t, tgt_t, kd, kp = inp
-            concat = jnp.concatenate(
-                [enc_t, self._prenet(p["prenet"], prev_out, kp)], axis=-1
-            )
+        def tail_cells(z_list, c_list, h0_new, c0_new, kd):
+            """Cells 1..n (inputs are sequential) + per-cell dropout/proj."""
             new_z, new_c = list(z_list), list(c_list)
-            for i, dp in enumerate(p["decs"]):
-                inp_i = concat if i == 0 else new_z[i - 1]
-                h, c = lstm_cell(dp["cell"], inp_i, z_list[i], c_list[i])
+            h, c = h0_new, c0_new
+            if train and self.dec_dropout_rate > 0:
+                kd, sub = jax.random.split(kd)
+                h = dropout(sub, h, self.dec_dropout_rate, train=True)
+            h = jnp.tanh(linear(h, p["decs"][0]["pj"]))
+            new_z[0], new_c[0] = h, c
+            for i, dp in enumerate(p["decs"][1:], start=1):
+                h, c = lstm_cell(dp["cell"], new_z[i - 1], z_list[i], c_list[i])
                 if train and self.dec_dropout_rate > 0:
                     kd, sub = jax.random.split(kd)
                     h = dropout(sub, h, self.dec_dropout_rate, train=True)
                 h = jnp.tanh(linear(h, dp["pj"]))
                 new_z[i], new_c[i] = h, c
-            pred_t = linear(new_z[-1], p["proj"])
-            fed = pred_t if tgt_t is None else tgt_t
-            return (tuple(new_z), tuple(new_c), fed), pred_t
+            return new_z, new_c
 
-        enc_t = jnp.swapaxes(enc, 0, 1)  # (T, B, H)
         if tf_targets is not None:
-            tgt_t = jnp.swapaxes(tf_targets, 0, 1)
-            inputs = (enc_t, tgt_t, dec_keys, pre_keys)
+            # fed-back sequence is known: [0, tgt_0, ..., tgt_{T-2}]
+            prev_seq = jnp.concatenate(
+                [prev0[:, None, :], tf_targets[:, :-1, :]], axis=1
+            )
+            pre = prev_seq
+            for li, lp in enumerate(p["prenet"]):
+                k_pre, sub = jax.random.split(k_pre)
+                pre = _dropout_batched(
+                    sub, jax.nn.relu(linear(pre, lp)),
+                    self.prenet_dropout_rate,
+                )
+            gx0 = jnp.concatenate([enc, pre], axis=-1) @ cell0["w_ih"] \
+                + cell0["b_ih"]  # (B, T, 4H) hoisted
 
             def step_tf(carry, inp):
-                e, t, kd, kp = inp
-                return step(carry, (e, t, kd, kp))
+                z_list, c_list = carry
+                gx0_t, kd = inp
+                h, c = lstm_cell_from_gates(cell0, gx0_t, z_list[0], c_list[0])
+                new_z, new_c = tail_cells(z_list, c_list, h, c, kd)
+                return (tuple(new_z), tuple(new_c)), new_z[-1]
 
-            _, preds = jax.lax.scan(step_tf, (tuple(z0), tuple(c0), prev0), inputs)
+            _, z_last = jax.lax.scan(
+                step_tf, (tuple(z0), tuple(c0)),
+                (jnp.swapaxes(gx0, 0, 1), dec_keys),
+            )
         else:
-            inputs = (enc_t, dec_keys, pre_keys)
+            Hc = enc.shape[-1]
+            gx0_enc = enc @ cell0["w_ih"][:Hc] + cell0["b_ih"]  # hoisted half
+            w_ih_pre = cell0["w_ih"][Hc:]
+            pre_keys = jax.random.split(k_pre, T)
 
             def step_free(carry, inp):
-                e, kd, kp = inp
-                return step(carry, (e, None, kd, kp))
+                z_list, c_list, prev_out = carry
+                gx0e_t, kd, kp = inp
+                pre_t = self._prenet(p["prenet"], prev_out, kp)
+                gx0_t = gx0e_t + pre_t @ w_ih_pre
+                h, c = lstm_cell_from_gates(cell0, gx0_t, z_list[0], c_list[0])
+                new_z, new_c = tail_cells(z_list, c_list, h, c, kd)
+                pred_t = linear(new_z[-1], p["proj"])
+                return (tuple(new_z), tuple(new_c), pred_t), new_z[-1]
 
-            _, preds = jax.lax.scan(step_free, (tuple(z0), tuple(c0), prev0), inputs)
+            _, z_last = jax.lax.scan(
+                step_free, (tuple(z0), tuple(c0), prev0),
+                (jnp.swapaxes(gx0_enc, 0, 1), dec_keys, pre_keys),
+            )
 
+        # output projection hoisted onto the stacked scan outputs
+        preds = linear(z_last, p["proj"])
         predicted = jnp.swapaxes(preds, 0, 1)  # (B, T, output_dim)
 
         Tmin = min(predicted.shape[1], bap_out.shape[1])

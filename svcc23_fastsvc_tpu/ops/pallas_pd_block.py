@@ -154,26 +154,36 @@ def pd_block_halo(dilation: int, fs: int, dense: int = 4,
     return g * max(1, -(-reach // g))
 
 
-def _fixed_kernel(xm, xr, c, w0, w1, w2, wA, bg, wO, bO, y, W,
-                  *, S, H, dil, T_in, T_out):
+def _fixed_kernel(xl, xm, xr, lpad, rpad, c, w0, w1, w2, wA, bg, wO, bO, y, W,
+                  *, S, H, dil, T, r_ofs):
     t = pl.program_id(1)
-    R = xm.shape[-1]
-    # window = [main | right halo]: the VALID conv's taps sit at offsets
-    # 0, dil, 2*dil from the output row, so the left halo is never read —
-    # dropping it halves the halo DMA traffic.
-    W[0:S] = xm[0]
-    W[S : S + H] = xr[0]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (S + H, R), 0) + t * S
-    W[...] = jnp.where(pos < T_in, W[...], jnp.zeros_like(W))
+    nT = pl.num_programs(1)
+    # window = [left halo | main | right halo] over the UNPADDED stream;
+    # global position of W row j is t*S - H + j. The reflect padding is
+    # fused: edge tiles overwrite their out-of-range halo rows with the
+    # host-precomputed reflected edge blocks (lpad covers [-H, 0), rpad
+    # covers [T - (r_ofs % 32 origin shift), ...) — see pd_fixed_block),
+    # so the full (B, T + 2*dil, R) XLA pad copy per block disappears.
+    W[0:H] = xl[0]
+    W[H : H + S] = xm[0]
+    W[H + S :] = xr[0]
 
-    # VALID conv over the reflect-padded input: output row g reads padded
-    # rows g + k*dil (static unaligned window slices); the center tap is
-    # also the residual (x_pad[g + pad] == x[g] for pad = dil, K = 3).
-    xC = W[dil : dil + S, :]
+    @pl.when(t == 0)
+    def _():
+        W[0:H] = lpad[0]
+
+    @pl.when(t == nT - 1)
+    def _():
+        W[r_ofs : r_ofs + H] = rpad[0]
+
+    # VALID conv over the implicit padded stream: output row g (global
+    # t*S + g) reads positions g - dil, g, g + dil -> W rows at static
+    # offsets H - dil, H, H + dil. The center tap is also the residual.
+    xC = W[H : H + S, :]
     h = (
-        _dot(W[0:S, :], w0[...])
+        _dot(W[H - dil : H - dil + S, :], w0[...])
         + _dot(xC, w1[...])
-        + _dot(W[2 * dil : 2 * dil + S, :], w2[...])
+        + _dot(W[H + dil : H + dil + S, :], w2[...])
         + _dot(c[0], wA[...])
         + bg[...].astype(jnp.float32)
     )
@@ -184,58 +194,82 @@ def _fixed_kernel(xm, xr, c, w0, w1, w2, wA, bg, wO, bO, y, W,
 
 
 def fixed_block_halo(dilation: int) -> int:
-    """Halo covering the K=3 VALID conv's reach 2*dil, 32-sublane-aligned."""
-    return 32 * max(1, -(-2 * dilation // 32))
+    """Halo covering the K=3 VALID conv's reach dil per side plus 32 rows
+    of store-alignment slack for the fused right-edge reflect block,
+    32-sublane-aligned."""
+    return 32 * max(2, -(-(dilation + 32) // 32))
 
 
-def pd_fixed_block(x_pad, c, params, *, dilation: int, halo: int):
-    """Fused FixedBlock forward (reference residual_block.py:75-173) on a
-    reflect-padded input.
+def pd_fixed_block(x, c, params, *, dilation: int, halo: int):
+    """Fused FixedBlock forward (reference residual_block.py:75-173) with
+    the reflect padding fused into the kernel's window assembly.
 
     Args:
-        x_pad: (B, T + 2*dil, R) input, already reflect-padded by dil on
-            each side (the one XLA pass this lowering keeps).
+        x: (B, T, R) UNPADDED input, T % 32 == 0 (production streams are
+            hop-160 aligned; the caller gates on this).
         c: (B, T, A) conditioning features.
         params: folded block params {"conv","aux","out"}; "conv" holds the
             (3, R, G) dilated-conv weight.
     Returns:
         (B, T, R) block output.
     """
-    B, T_in, R = x_pad.shape
-    T = T_in - 2 * dilation
+    B, T, R = x.shape
     A = c.shape[-1]
     H = halo
+    if T % 32 or dilation + 32 > H:
+        raise ValueError("pd_fixed_block: T must be 32-aligned and halo "
+                         ">= dilation + 32")
     S = _pick_tile(1, H, target=4096)
-    nT = -(-T // S)
+    nT = max(-(-T // S), 1)
     w = params["conv"]["w"]
     wA = params["aux"]["w"][0]
     bg = params["conv"]["b"][None, :]
     wO = params["out"]["w"][0]
     bO = params["out"]["b"][None, :]
+
+    # Host-side reflected edge blocks (tiny: (B, H, R) each).
+    # lpad: window rows [0, H) of tile 0 = global positions [-H, 0);
+    # torch ReflectionPad1d: value at -k is x[k], so the last dil rows are
+    # flip(x[:, 1:dil+1]) and the rest (never read) zeros.
+    zeros_l = jnp.zeros((B, H - dilation, R), x.dtype)
+    lpad = jnp.concatenate(
+        [zeros_l, jnp.flip(x[:, 1 : dilation + 1], axis=1)], axis=1
+    )
+    # rpad: H rows stored at the 32-aligned offset at/below position T in
+    # the last tile's window; covers [T - delta, T - delta + H) where
+    # delta = (position of T in the window) % 32. Content: real rows
+    # x[T-delta:T], then the reflection (value at T-1+k is x[T-1-k]), then
+    # zero fill (positions beyond T + dil are never read).
+    ofs = H + (T - (nT - 1) * S)
+    delta = ofs % 32
+    r_ofs = ofs - delta
+    fill = H - delta - dilation
+    rpad = jnp.concatenate(
+        [
+            x[:, T - delta : T],
+            jnp.flip(x[:, T - dilation - 1 : T - 1], axis=1),
+            jnp.zeros((B, fill, R), x.dtype),
+        ],
+        axis=1,
+    )
+
     kernel = functools.partial(_fixed_kernel, S=S, H=H, dil=dilation,
-                               T_in=T_in, T_out=T)
+                               T=T, r_ofs=r_ofs)
     full = lambda shape: [  # noqa: E731
         pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
                      memory_space=pltpu.VMEM)
     ]
-    n_s = max(-(-T_in // S), 1)
-    n_h = max(-(-T_in // H), 1)
-    r = S // H
+    edge = lambda: [  # noqa: E731 — per-batch (1, H, R) edge block
+        pl.BlockSpec((1, H, R), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM)
+    ]
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, T, R), x_pad.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, T, R), x.dtype),
         grid=(B, nT),
-        in_specs=[
-            pl.BlockSpec(
-                (1, S, R),
-                lambda b, t: (b, jnp.minimum(t, n_s - 1), 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, H, R),
-                lambda b, t: (b, jnp.minimum((t + 1) * r, n_h - 1), 0),
-                memory_space=pltpu.VMEM,
-            ),
+        in_specs=_halo_specs(S, H, R, T)
+        + edge() + edge()
+        + [
             pl.BlockSpec((1, S, A), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
         ]
@@ -244,10 +278,10 @@ def pd_fixed_block(x_pad, c, params, *, dilation: int, halo: int):
         out_specs=pl.BlockSpec((1, S, R), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((S + H, R), x_pad.dtype),
+            pltpu.VMEM((2 * H + S, R), x.dtype),
         ],
         interpret=_interpret(),
-    )(x_pad, x_pad, c, w[0], w[1], w[2], wA, bg, wO, bO)
+    )(x, x, x, lpad, rpad, c, w[0], w[1], w[2], wA, bg, wO, bO)
 
 
 def pd_adaptive_block(x, c, shifts, params, *, hop: int, halo: int):

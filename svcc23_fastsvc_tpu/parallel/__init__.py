@@ -7,6 +7,7 @@ from .mesh import (  # noqa: F401
     replicate,
     jit_train_step_dp,
     jit_multi_step_dp,
+    shard_map_forward_dp,
     shard_map_step_dp,
 )
 from .distributed import (  # noqa: F401

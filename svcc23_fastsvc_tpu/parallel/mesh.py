@@ -111,6 +111,27 @@ def shard_map_step_dp(task, phase: str, mesh: Mesh, *,
     return jax.jit(fn, **kw)
 
 
+def shard_map_forward_dp(forward_fn, mesh: Mesh, *, axis_name: str = "data"):
+    """DP inference via jax.shard_map: (params, *batch_args) -> output with
+    params replicated and every batch arg/output sharded on its leading
+    axis. The Pallas-kernel-compatible decode/synthesis path (GSPMD cannot
+    partition the fused custom calls; per-shard manual code can)."""
+
+    def wrapped(params, *args):
+        return forward_fn(params, *args)
+
+    def jitted(params, *args):
+        fn = jax.shard_map(
+            wrapped, mesh=mesh,
+            in_specs=(P(),) + (P(axis_name),) * len(args),
+            out_specs=P(axis_name),
+            check_vma=False,
+        )
+        return fn(params, *args)
+
+    return jax.jit(jitted)
+
+
 def shard_stacked_batch(batches, mesh: Mesh, *, axis_name: str = "data"):
     """Place a K-stacked batch dict (leading scan axis K, then batch axis)
     with the batch axis sharded over the mesh and the scan axis replicated."""

@@ -160,6 +160,45 @@ def test_generator_fused_film_matches_unfused():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_stack_downsample_matches_unstacked():
+    """stack_downsample=True (both downsample chains as one vmapped
+    program) is numerically the same computation."""
+    import dataclasses
+
+    import jax
+
+    model = FastSVCGenerator(
+        in_channels=8, mid_channels=(16, 8), upsampling_scales=(4, 5),
+        spk_emb_size=12, use_spk_emb=True,
+    )
+    params = model.init(jax.random.PRNGKey(7))
+    ppg = jnp.asarray(RNG.standard_normal((2, 10, 8)), jnp.float32)
+    sine = jnp.asarray(RNG.standard_normal((2, 200, 1)), jnp.float32)
+    lft = jnp.asarray(RNG.standard_normal((2, 200, 1)), jnp.float32)
+    emb = jnp.asarray(RNG.standard_normal((2, 12)), jnp.float32)
+
+    stacked = dataclasses.replace(model, stack_downsample=True)
+    a = model.apply(params, ppg, sine, lft, emb)
+    b = stacked.apply(params, ppg, sine, lft, emb)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+    loss = lambda m: lambda p: jnp.sum(  # noqa: E731
+        m.apply(p, ppg, sine, lft, emb) ** 2
+    )
+    ga = jax.grad(loss(model))(params)
+    gb = jax.grad(loss(stacked))(params)
+    scale = max(
+        float(jnp.abs(x).max()) for x in jax.tree.leaves(ga)
+    )
+    for x, y in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        # tolerance relative to the GLOBAL grad scale: batched-matmul
+        # reassociation perturbs near-zero leaves at ~1e-5 absolute
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-4 * scale
+        )
+
+
 def test_melgan_msd_parity():
     from harana.models.fastsvc import (
         MelGANMultiScaleDiscriminator as RefMSD,

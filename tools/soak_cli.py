@@ -1,4 +1,4 @@
-"""CLI-sustained throughput certification (VERDICT r2 next #4).
+"""CLI-sustained throughput certification (VERDICT r2 next #4, r3 next #4/#8).
 
 bench.py times the jitted step on a pre-staged device batch; this tool
 certifies that the REAL training CLI — HDF5 dataset, native producer ring,
@@ -6,17 +6,27 @@ prefetch, scanned dispatch, checkpointing — sustains a comparable rate.
 It builds a synthetic 24 kHz feature corpus, runs
 `python -m svcc23_fastsvc_tpu.bin.train_fastsvc` at the production bench
 shape (batch 32 x 1 s, [5,4,4,2] generator, bf16 compute, steps_per_call
-16, full GAN phase), parses the loop's own per-interval audio_s_per_s log
-lines (train/loop.py _flush_logs), and writes SOAK_r{N}.json with the
-per-interval rates and the median sustained number.
+16, full GAN phase), parses the loop's own per-interval log lines
+(train/loop.py _flush_logs), and writes SOAK_r{N}.json.
 
-Usage: python tools/soak_cli.py [--steps 5000] [--out SOAK_r03.json]
+Round-4 additions:
+  * per-interval wall-time attribution (data_wait/step_wait/eval/save from
+    the instrumented loop) and p10/p50/p90 of the sustained rate — dips are
+    attributed, not averaged away;
+  * --preempt-at-s N: SIGTERMs the child mid-run, expects the graceful
+    checkpoint-and-exit-75 contract, restarts with --resume, and records
+    restart-to-training latency plus the continued loss trajectory;
+  * --eval-every N: periodic eval + intermediate wav/png artifacts against
+    a dev split (checkpoint rotation exercised via save_interval_steps).
+
+Usage: python tools/soak_cli.py [--steps 5000] [--out SOAK_r04.json]
 """
 
 import argparse
 import json
 import os
 import re
+import signal
 import subprocess
 import sys
 import tempfile
@@ -28,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SR = 24000
 HOP = 160
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def write_corpus(dumpdir: str, n_utts: int = 48, dur_s: float = 2.0):
@@ -56,7 +67,7 @@ def write_corpus(dumpdir: str, n_utts: int = 48, dur_s: float = 2.0):
                    rng.standard_normal(512).astype(np.float32))
 
 
-def soak_config(steps: int) -> dict:
+def soak_config(steps: int, eval_every: int = 0, save_every: int = 0) -> dict:
     return {
         "sampling_rate": SR,
         "hop_size": HOP,
@@ -88,19 +99,84 @@ def soak_config(steps: int) -> dict:
         "discriminator_train_start_steps": 0,
         "train_max_steps": steps,
         "log_interval_steps": 320,
-        "eval_interval_steps": 10 * steps,
-        "save_interval_steps": 10 * steps,
+        "eval_interval_steps": eval_every or 10 * steps,
+        "save_interval_steps": save_every or 10 * steps,
+        "eval_batches": 2,
+        "num_save_intermediate_results": 2 if eval_every else 0,
         "compute_dtype": "bfloat16",
         "steps_per_call": 16,
         "loader_threads": 4,
     }
 
 
+_FIELDS = ("audio_s_per_s", "data_wait_s", "step_wait_s", "eval_s", "save_s",
+           "discriminator_loss")
+
+
+def parse_intervals(log: str):
+    """Per-interval dicts from the loop's flush lines."""
+    out = []
+    for line in log.splitlines():
+        if "audio_s_per_s" not in line:
+            continue
+        d = {}
+        for f in _FIELDS:
+            m = re.search(rf"{f}=([0-9.]+)", line)
+            if m:
+                d[f] = float(m.group(1))
+        if "audio_s_per_s" in d:
+            out.append(d)
+    return out
+
+
+def _restart_latency_s(log: str):
+    """Seconds from the resumed process's first log line to its first
+    training flush (timestamps come from the loop's own log format)."""
+    import datetime as _dt
+
+    def ts(line):
+        m = re.match(r"(\d{4}-\d\d-\d\d \d\d:\d\d:\d\d)", line)
+        if not m:
+            return None
+        return _dt.datetime.strptime(m.group(1), "%Y-%m-%d %H:%M:%S")
+
+    first = None
+    for line in log.splitlines():
+        t = ts(line)
+        if t is None:
+            continue
+        if first is None:
+            first = t
+        if "audio_s_per_s" in line:
+            return (t - first).total_seconds()
+    return None
+
+
+def run_cli(cmd, *, preempt_at_s=None, cwd=REPO):
+    """Run the trainer; optionally SIGTERM it after preempt_at_s seconds.
+    Returns (rc, log, wall_s)."""
+    t0 = time.time()
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=cwd, start_new_session=True,
+    )
+    if preempt_at_s is not None:
+        time.sleep(preempt_at_s)
+        proc.send_signal(signal.SIGTERM)
+    log, _ = proc.communicate()
+    return proc.returncode, log, time.time() - t0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=5000)
-    ap.add_argument("--out", default="SOAK_r03.json")
+    ap.add_argument("--out", default="SOAK_r04.json")
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--preempt-at-s", type=float, default=None,
+                    help="SIGTERM the trainer after N s, then resume")
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="eval_interval_steps (enables dev split + artifacts)")
+    ap.add_argument("--save-every", type=int, default=0)
     args = ap.parse_args()
 
     work = args.workdir or tempfile.mkdtemp(prefix="soak_")
@@ -112,38 +188,99 @@ def main():
     import yaml
 
     with open(cfg_path, "w") as f:
-        yaml.safe_dump(soak_config(args.steps), f)
+        yaml.safe_dump(
+            soak_config(args.steps, args.eval_every, args.save_every), f
+        )
 
     cmd = [
         sys.executable, "-m", "svcc23_fastsvc_tpu.bin.train_fastsvc",
         "--train-dumpdir", dumpdir, "--outdir", outdir,
         "--config", cfg_path, "--verbose", "1",
     ]
-    t0 = time.time()
-    proc = subprocess.run(cmd, capture_output=True, text=True,
-                          cwd=os.path.dirname(os.path.dirname(
-                              os.path.abspath(__file__))))
-    wall = time.time() - t0
-    log = proc.stdout + proc.stderr
-    sys.stderr.write(log[-4000:])
-    if proc.returncode != 0:
-        raise SystemExit(f"train CLI failed rc={proc.returncode}")
+    if args.eval_every:
+        cmd += ["--dev-dumpdir", dumpdir]
 
-    rates = [float(m) for m in re.findall(r"audio_s_per_s=([0-9.]+)", log)]
-    losses = [float(m) for m in
-              re.findall(r"discriminator_loss=([0-9.]+)", log)]
-    if len(rates) < 3:
-        raise SystemExit(f"too few log intervals parsed ({len(rates)})")
-    # interval 1 includes compile; sustained = median of the rest
-    sustained = float(np.median(rates[1:]))
+    preempt_info = None
+    t0 = time.time()
+    if args.preempt_at_s is not None:
+        rc, log1, wall1 = run_cli(cmd, preempt_at_s=args.preempt_at_s)
+        sys.stderr.write(log1[-2000:])
+        if rc != 75:
+            raise SystemExit(
+                f"preempted trainer exited rc={rc}, expected 75 (graceful "
+                "checkpoint-and-exit contract)"
+            )
+        pre_intervals = parse_intervals(log1)
+        m = re.search(r"preempted at step (\d+)", log1)
+        preempt_step = int(m.group(1)) if m else None
+        t_restart = time.time()
+        rc, log2, wall2 = run_cli(cmd + ["--resume"])
+        if rc != 0:
+            sys.stderr.write(log2[-4000:])
+            raise SystemExit(f"resumed trainer failed rc={rc}")
+        m = re.search(r"resumed from step (\d+)", log2)
+        resume_step = int(m.group(1)) if m else None
+        post_intervals = parse_intervals(log2)
+        preempt_info = {
+            "preempt_step": preempt_step,
+            "resume_step": resume_step,
+            "restart_to_first_flush_s": _restart_latency_s(log2),
+            "restart_wall_s": round(wall2, 1),
+            "pre_d_loss_last": (
+                pre_intervals[-1].get("discriminator_loss")
+                if pre_intervals else None
+            ),
+            "post_d_loss_first": (
+                post_intervals[0].get("discriminator_loss")
+                if post_intervals else None
+            ),
+        }
+        intervals = pre_intervals + post_intervals
+        log = log1 + log2
+        wall = wall1 + wall2
+    else:
+        rc, log, wall = run_cli(cmd)
+        sys.stderr.write(log[-4000:])
+        if rc != 0:
+            raise SystemExit(f"train CLI failed rc={rc}")
+        intervals = parse_intervals(log)
+
+    if len(intervals) < 3:
+        raise SystemExit(f"too few log intervals parsed ({len(intervals)})")
+
+    rates = [d["audio_s_per_s"] for d in intervals]
+    # interval 1 includes compile; sustained stats exclude it
+    sustained = np.asarray(rates[1:])
+    p10, p50, p90 = (float(np.percentile(sustained, q)) for q in (10, 50, 90))
+
+    # dip attribution: intervals below 80% of the median, with their waits
+    dips = []
+    for i, d in enumerate(intervals[1:], start=1):
+        if d["audio_s_per_s"] < 0.8 * p50:
+            dips.append({
+                "interval": i,
+                "audio_s_per_s": d["audio_s_per_s"],
+                "data_wait_s": d.get("data_wait_s"),
+                "step_wait_s": d.get("step_wait_s"),
+                "eval_s": d.get("eval_s"),
+                "save_s": d.get("save_s"),
+            })
+
+    losses = [d["discriminator_loss"] for d in intervals
+              if "discriminator_loss" in d]
     lowering = re.search(r"conv lowering: (\S+)", log)
     result = {
         "metric": "cli_sustained_gan_train_audio_s_per_s_per_chip_bf16",
-        "value": round(sustained, 1),
+        "value": round(p50, 1),
         "unit": "audio-s/s/chip",
         "steps": args.steps,
-        "intervals_audio_s_per_s": [round(r, 1) for r in rates],
+        "p10": round(p10, 1),
+        "p50": round(p50, 1),
+        "p90": round(p90, 1),
+        "intervals": intervals,
         "first_interval_includes_compile": True,
+        "dips_below_80pct_of_median": dips,
+        "preemption_drill": preempt_info,
         "conv_lowering": lowering.group(1) if lowering else None,
         "final_discriminator_loss": losses[-1] if losses else None,
         "wall_s": round(wall, 1),
@@ -152,7 +289,7 @@ def main():
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
-    print(json.dumps(result))
+    print(json.dumps({k: v for k, v in result.items() if k != "intervals"}))
 
 
 if __name__ == "__main__":
