@@ -456,6 +456,21 @@ def main():
     taco_tput = taco_audio_s / taco_t
     taco_mfu = check_physics("b02_taco2_train", taco_flops, taco_t, peak)
 
+    # bf16 mixed-precision taco2 train (compute_dtype plumbing in
+    # train/b02.py; scan carry + matmuls bf16, losses/params f32)
+    import dataclasses as _dc
+
+    b02_task16 = _dc.replace(b02_task, compute_dtype=jnp.bfloat16)
+    b02_state16 = b02_task16.init_state(jax.random.PRNGKey(8))
+    taco16_flops = flops_of(jax.jit(b02_task16.gan_step), b02_state16, t_batch)
+    taco16_t, _, _ = time_train(
+        b02_task16.gan_step, b02_state16, t_batch,
+        k1=max(2, args.k1 // 5), k2=max(6, args.k2 // 5), reps=args.reps,
+    )
+    taco16_tput = taco_audio_s / taco16_t
+    taco16_mfu = check_physics("b02_taco2_train_bf16", taco16_flops,
+                               taco16_t, peak)
+
     def taco_decode(params, ppg, lft, lf0, emb):
         pred, _, _ = taco.apply(
             params, ppg, jnp.full((ppg.shape[0],), ppg.shape[1], jnp.int32),
@@ -497,6 +512,10 @@ def main():
         "b02_taco2_train_audio_s_per_s_per_chip": round(taco_tput, 1),
         "b02_taco2_train_mfu": (
             round(taco_mfu, 4) if taco_mfu is not None else None
+        ),
+        "b02_taco2_train_bf16_audio_s_per_s_per_chip": round(taco16_tput, 1),
+        "b02_taco2_train_bf16_mfu": (
+            round(taco16_mfu, 4) if taco16_mfu is not None else None
         ),
         "b02_taco2_decode_audio_s_per_s_per_chip": round(dec_tput, 1),
         "b02_taco2_decode_mfu": (

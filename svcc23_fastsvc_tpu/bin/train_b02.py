@@ -10,7 +10,7 @@ import logging
 
 import jax
 
-from ..config import dump_config, load_config
+from ..config import dump_config, load_config, parse_compute_dtype
 from ..data.collate import B02Batcher
 from ..data.dataset import B02Dataset
 from ..models.tacotron2 import MultiSubFreqDiscriminator, Tacotron2
@@ -55,6 +55,7 @@ def build_b02_task(cfg: dict) -> B02TrainTask:
         ),
         lambda_l1=cfg.get("lambda_l1", 1.0),
         lambda_adv=cfg.get("lambda_adv", 1.0),
+        compute_dtype=parse_compute_dtype(cfg.get("compute_dtype")),
     )
 
 

@@ -133,30 +133,35 @@ def _dropout_batched(key, x, rate: float):
 
 def batch_norm(x, p, *, train: bool, momentum: float = 0.1, eps: float = 1e-5,
                axis=(0, 1)):
-    """BatchNorm over (B, T, C); returns (y, new_stats)."""
+    """BatchNorm over (B, T, C); returns (y, new_stats). Statistics run in
+    f32 (bf16 mixed-precision keeps norms exact); y returns in x's dtype
+    so a bf16 stream stays bf16."""
+    x32 = x.astype(jnp.float32)
     if train:
-        mean = jnp.mean(x, axis=axis)
-        var = jnp.mean(jnp.square(x - mean), axis=axis)
+        mean = jnp.mean(x32, axis=axis)
+        var = jnp.mean(jnp.square(x32 - mean), axis=axis)
         n = x.shape[0] * x.shape[1] if len(axis) == 2 else x.shape[0]
         unbiased = var * n / max(n - 1, 1)
         new_stats = {
-            "mean": (1 - momentum) * p["mean"] + momentum * mean,
-            "var": (1 - momentum) * p["var"] + momentum * unbiased,
+            "mean": (1 - momentum) * p["mean"].astype(jnp.float32) + momentum * mean,
+            "var": (1 - momentum) * p["var"].astype(jnp.float32) + momentum * unbiased,
         }
     else:
-        mean, var = p["mean"], p["var"]
+        mean, var = p["mean"].astype(jnp.float32), p["var"].astype(jnp.float32)
         new_stats = {"mean": p["mean"], "var": p["var"]}
-    y = (x - mean) * jax.lax.rsqrt(var + eps) * p["w"] + p["b"]
-    return y, new_stats
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps) * p["w"].astype(jnp.float32) \
+        + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype), new_stats
 
 
 def instance_norm_global(x, eps: float = 1e-5):
     """torch InstanceNorm2d-on-3D quirk: per batch element, normalize over
-    ALL remaining axes."""
+    ALL remaining axes. f32 statistics, output in x's dtype."""
+    x32 = x.astype(jnp.float32)
     axes = tuple(range(1, x.ndim))
-    mean = jnp.mean(x, axis=axes, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    mean = jnp.mean(x32, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def dropout(key, x, rate: float, *, train: bool):
@@ -369,9 +374,10 @@ class Tacotron2:
         #   * the output projection runs on the stacked scan outputs.
         H = self.hidden_dim
         n_dec = len(p["decs"])
-        z0 = [jnp.zeros((B, H)) for _ in range(n_dec)]
-        c0 = [jnp.zeros((B, H)) for _ in range(n_dec)]
-        prev0 = jnp.zeros((B, self.output_dim))
+        dt = enc.dtype  # bf16 mixed precision keeps the scan carry bf16
+        z0 = [jnp.zeros((B, H), dt) for _ in range(n_dec)]
+        c0 = [jnp.zeros((B, H), dt) for _ in range(n_dec)]
+        prev0 = jnp.zeros((B, self.output_dim), dt)
 
         dec_keys = jax.random.split(k_dec, T)
         cell0 = p["decs"][0]["cell"]

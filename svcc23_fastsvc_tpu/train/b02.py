@@ -48,6 +48,17 @@ class B02TrainTask:
     lambda_l1: float = 1.0
     lambda_adv: float = 1.0
     adv_loss_type: str = "mse"
+    compute_dtype: Any = None  # e.g. jnp.bfloat16 — params stay f32 in the
+    # optimizer, casts are traced (grads flow back f32); losses f32
+
+    def _cast(self, tree):
+        if self.compute_dtype is None:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(self.compute_dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            tree,
+        )
 
     def init_state(self, key) -> B02TrainState:
         kg, kd, kr = jax.random.split(key, 3)
@@ -91,17 +102,19 @@ class B02TrainTask:
         return p
 
     def _forward(self, g_params, batch, key, *, train, teacher_forcing=True):
-        return self.generator.apply(
-            g_params,
-            batch["ppg"],
+        pred, lens, bn = self.generator.apply(
+            self._cast(g_params),
+            self._cast(batch["ppg"]),
             batch["lengths"],
-            batch["lft"],
-            batch["lf0"],
-            batch["spk_emb"],
-            batch["targets"] if teacher_forcing else None,
+            self._cast(batch["lft"]),
+            self._cast(batch["lf0"]),
+            self._cast(batch["spk_emb"]),
+            self._cast(batch["targets"]) if teacher_forcing else None,
             train=train,
             key=key,
         )
+        # losses (masked MSE / adversarial) stay in f32; bn stats are f32
+        return pred.astype(jnp.float32), lens, bn
 
     def _gen_loss(self, g_params, d_params, batch, key, *, with_adv: bool,
                   train: bool = True):

@@ -69,6 +69,51 @@ def test_b02_gan_phase_updates_discriminator():
     assert changed
 
 
+def test_b02_bf16_mixed_precision_trains():
+    """compute_dtype=bfloat16: params/opt stay f32, scan carry + matmuls
+    bf16, losses f32 — both phases produce finite, training updates."""
+    import dataclasses
+
+    # lr high enough that the improvement clears bf16 resolution on the
+    # tiny model (at 1e-3 the 6-step delta is ~1e-5, under bf16 noise)
+    task = dataclasses.replace(
+        tiny_task(), compute_dtype=jnp.bfloat16,
+        g_tx=make_optimizer(lr=2e-2, grad_norm=1.0),
+    )
+    state = task.init_state(jax.random.PRNGKey(0))
+    gen_step, gan_step = task.jit_steps(donate=False)
+    batch = tiny_batch(jax.random.PRNGKey(4))
+    losses = []
+    for _ in range(8):
+        state, m = gen_step(state, batch)
+        losses.append(float(m["mse_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    state, m = gan_step(state, batch)
+    for k in ("mse_loss", "adversarial_loss", "discriminator_loss"):
+        assert np.isfinite(float(m[k])), k
+    # params remained f32
+    assert all(
+        leaf.dtype == jnp.float32
+        for leaf in jax.tree.leaves(state.g_params)
+    )
+
+
+def test_b02_bf16_matches_f32_first_step_losses():
+    """bf16 first-step losses agree with f32 to bf16 rounding class."""
+    import dataclasses
+
+    t32 = tiny_task()
+    t16 = dataclasses.replace(t32, compute_dtype=jnp.bfloat16)
+    s32 = t32.init_state(jax.random.PRNGKey(0))
+    s16 = t16.init_state(jax.random.PRNGKey(0))
+    batch = tiny_batch(jax.random.PRNGKey(5))
+    _, m32 = jax.jit(t32.gen_step)(s32, batch)
+    _, m16 = jax.jit(t16.gen_step)(s16, batch)
+    a, b = float(m32["mse_loss"]), float(m16["mse_loss"])
+    assert abs(a - b) / abs(a) < 0.05, (a, b)
+
+
 def test_b02_eval_uses_running_bn():
     task = tiny_task()
     state = task.init_state(jax.random.PRNGKey(0))

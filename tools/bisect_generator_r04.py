@@ -43,14 +43,22 @@ def time_scan(make_fn, *, k1=5, k2=25, reps=3):
 
 def grad_scan(loss_fn, params, xs):
     """K iterations of grad(loss)(params, xs) with params carried through
-    a tiny additive perturbation so the scan is sequentially dependent."""
+    a tiny additive perturbation so the scan is sequentially dependent.
+
+    The carry folds EVERY grad leaf — consuming only one leaf lets XLA
+    dead-code-eliminate the other leaves' wgrad contractions (caught in
+    round 4: a one-leaf carry under-measured the generator backward ~3x)."""
 
     def make(K):
         def fn():
             def body(c, _):
                 p = jax.tree.map(lambda a: a + c.astype(a.dtype), params)
                 g = jax.grad(lambda pp: loss_fn(pp, xs))(p)
-                return jnp.mean(jax.tree.leaves(g)[0]).astype(jnp.float32) * 1e-12, None
+                tot = sum(
+                    jnp.mean(leaf).astype(jnp.float32)
+                    for leaf in jax.tree.leaves(g)
+                )
+                return tot * 1e-12, None
 
             c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
             return c
