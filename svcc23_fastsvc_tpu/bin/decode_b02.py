@@ -47,7 +47,9 @@ def decode_b02(
     speakers,
     config_path: str | None = None,
     max_frames: int = 400,
+    infer_dtype: str | None = None,
 ):
+    from ..config import parse_compute_dtype
     from .train_b02 import build_b02_task
 
     cfg = load_config(config_path or os.path.join(checkpoint_dir, "config.yml"))
@@ -57,13 +59,29 @@ def decode_b02(
     logging.info("loaded B02 checkpoint step %d", step)
     params = task._apply_bn(state.g_params, state.g_bn)
 
+    # inference dtype: explicit flag, else the config's infer_dtype, else
+    # the training compute_dtype, else f32 (decode_fastsvc convention)
+    dt = parse_compute_dtype(
+        infer_dtype or cfg.get("infer_dtype", cfg.get("compute_dtype"))
+    )
+    if dt is not None:
+        cast = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: x.astype(dt) if hasattr(x, "dtype")
+            and x.dtype == jnp.float32 else x, t
+        )
+        params = cast(params)
+        logging.info("decoding in %s", jnp.dtype(dt).name)
+    else:
+        cast = lambda t: t  # noqa: E731
+
     ds = B02Dataset(dumpdir, return_utt_id=True)
     os.makedirs(outdir, exist_ok=True)
 
     fwd = jax.jit(
         lambda ppg, lens, lft, lf0, emb: task.generator.apply(
-            params, ppg, lens, lft, lf0, emb, None, train=False,
-        )[0]
+            params, cast(ppg), lens, cast(lft), cast(lf0), cast(emb),
+            None, train=False,
+        )[0].astype(jnp.float32)
     )
 
     for trgspk in speakers:
@@ -116,6 +134,10 @@ def main(argv=None):
                         help="yaml with per-speaker lf0_mean/lf0_scale")
     parser.add_argument("--speakers", nargs="+", required=True)
     parser.add_argument("--config", default=None)
+    parser.add_argument("--infer-dtype", default=None,
+                        choices=[None, "f32", "float32", "bf16", "bfloat16"],
+                        help="acoustic-model decode dtype (default: config "
+                             "infer_dtype, else compute_dtype, else f32)")
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args(argv)
     setup_logging(args.verbose)
@@ -125,6 +147,7 @@ def main(argv=None):
         args.dumpdir, args.checkpoint_dir, args.outdir,
         spk_emb_file=args.spk_emb_file, f0_stats=f0_stats,
         speakers=args.speakers, config_path=args.config,
+        infer_dtype=args.infer_dtype,
     )
 
 

@@ -142,6 +142,21 @@ def test_b02_stage5_decode(workdir):
     mcep = read_hdf5(str(workdir / "decoded" / outs[0]), "mcep")
     assert mcep.shape[1] == 60 and np.isfinite(mcep).all()
 
+    # bf16 decode (--infer-dtype): same surface, mixed-precision forward
+    decode_b02(
+        str(workdir / "dump_norm"), str(workdir / "exp"),
+        str(workdir / "decoded_bf16"),
+        spk_emb_file=str(workdir / "spk_embs.h5"),
+        f0_stats=f0_stats, speakers=["spkB"], max_frames=60,
+        infer_dtype="bf16",
+    )
+    outs16 = sorted(os.listdir(workdir / "decoded_bf16"))
+    assert outs16 == outs
+    m16 = read_hdf5(str(workdir / "decoded_bf16" / outs16[0]), "mcep")
+    assert np.isfinite(m16).all()
+    # bf16 tracks the f32 decode to mixed-precision tolerance
+    assert np.abs(m16 - mcep).mean() < 0.05 * max(np.abs(mcep).mean(), 1e-3)
+
 
 def test_b02_stage7_synthesize(workdir):
     """Vocoder pass with a tiny random-weight HN-uSFGAN (no pretrained
