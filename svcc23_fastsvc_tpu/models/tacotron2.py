@@ -187,6 +187,9 @@ class Tacotron2:
     dec_layers: int = 2
     dec_dropout_rate: float = 0.2
     dec_layernorm: bool = False
+    # reference Taco2Encoder hardcodes dropout_rate=0.5 (tacotron2.py:48);
+    # configurable here so deterministic comparisons can disable it
+    enc_dropout_rate: float = 0.5
     prenet_layers: int = 2
     prenet_dim: int = 256
     prenet_dropout_rate: float = 0.5
@@ -294,7 +297,7 @@ class Tacotron2:
             h = jax.nn.relu(h)
             if train and key is not None:
                 key, sub = jax.random.split(key)
-                h = dropout(sub, h, 0.5, train=train)
+                h = dropout(sub, h, self.enc_dropout_rate, train=train)
         out = bilstm(p["blstm"], h, lengths)
         return out, new_bns
 

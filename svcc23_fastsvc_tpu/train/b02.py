@@ -78,6 +78,9 @@ class B02TrainTask:
             g_params, dummy["ppg"], dummy["lengths"], dummy["lft"],
             dummy["lf0"], dummy["spk_emb"], dummy["targets"], train=False,
         )
+        # eval-mode new_stats alias the g_params bn leaves; copy them so a
+        # donated train step never sees the same buffer via both trees
+        bn = jax.tree.map(lambda x: jnp.array(x, copy=True), bn)
         d_params = self.discriminator.init(kd)
         return B02TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -101,9 +104,20 @@ class B02TrainTask:
         )
         return p
 
-    def _forward(self, g_params, batch, key, *, train, teacher_forcing=True):
+    def _forward(self, g_params, batch, key, *, train, teacher_forcing=True,
+                 g_bn=None):
+        # overlay the ACCUMULATED running bn stats so each train step's
+        # momentum update chains on the previous one (torch semantics:
+        # running = 0.9*running + 0.1*batch). Train-mode normalization uses
+        # batch stats, so this changes no loss or gradient — only the
+        # running stats that eval/decode later consume. Overlay AFTER the
+        # compute-dtype cast: the stats accumulate in f32 (batch_norm keeps
+        # its statistics in f32 regardless of the stream dtype).
+        params = self._cast(g_params)
+        if g_bn is not None:
+            params = self._apply_bn(params, g_bn)
         pred, lens, bn = self.generator.apply(
-            self._cast(g_params),
+            params,
             self._cast(batch["ppg"]),
             batch["lengths"],
             self._cast(batch["lft"]),
@@ -117,9 +131,10 @@ class B02TrainTask:
         return pred.astype(jnp.float32), lens, bn
 
     def _gen_loss(self, g_params, d_params, batch, key, *, with_adv: bool,
-                  train: bool = True):
+                  train: bool = True, g_bn=None):
         k_fwd, k_d = jax.random.split(key)
-        pred, _, bn = self._forward(g_params, batch, k_fwd, train=train)
+        pred, _, bn = self._forward(g_params, batch, k_fwd, train=train,
+                                    g_bn=g_bn)
         mse = masked_mse_loss(pred, batch["targets"], batch["lengths"])
         metrics = {"mse_loss": mse}
         gen_loss = self.lambda_l1 * mse
@@ -137,7 +152,8 @@ class B02TrainTask:
     def gen_step(self, state: B02TrainState, batch):
         rng, k = jax.random.split(state.rng)
         grads, (metrics, bn) = jax.grad(
-            lambda p: self._gen_loss(p, state.d_params, batch, k, with_adv=False),
+            lambda p: self._gen_loss(p, state.d_params, batch, k,
+                                     with_adv=False, g_bn=state.g_bn),
             has_aux=True,
         )(state.g_params)
         updates, g_opt = self.g_tx.update(grads, state.g_opt_state, state.g_params)
@@ -151,13 +167,17 @@ class B02TrainTask:
     def gan_step(self, state: B02TrainState, batch):
         rng, k1, k2, k3 = jax.random.split(state.rng, 4)
         grads, (metrics, bn) = jax.grad(
-            lambda p: self._gen_loss(p, state.d_params, batch, k1, with_adv=True),
+            lambda p: self._gen_loss(p, state.d_params, batch, k1,
+                                     with_adv=True, g_bn=state.g_bn),
             has_aux=True,
         )(state.g_params)
         updates, g_opt = self.g_tx.update(grads, state.g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, updates)
 
-        pred, _, _ = self._forward(g_params, batch, k2, train=True)
+        # the reference regenerates with the UPDATED generator in train mode
+        # (train_b02.py:225-233), which advances the bn running stats a
+        # second time — chain that update so running stats match exactly
+        pred, _, bn = self._forward(g_params, batch, k2, train=True, g_bn=bn)
         pred = jax.lax.stop_gradient(pred)
 
         def d_loss(dp):

@@ -122,3 +122,34 @@ def test_b02_eval_uses_running_bn():
     state, _ = gen_step(state, batch)
     m = jax.jit(task.eval_step)(state, batch)
     assert np.isfinite(float(m["mse_loss"]))
+
+
+def test_b02_running_bn_accumulates():
+    """Regression: each step's momentum update must chain on the PREVIOUS
+    step's running stats (running = 0.9*running + 0.1*batch), not restart
+    from the init stats every step. With a fixed batch, n gen steps give
+    running_mean ≈ (1 - 0.9^n) * batch_mean — far from one step's 0.1×."""
+    task = tiny_task()
+    state = task.init_state(jax.random.PRNGKey(0))
+    gen_step, gan_step = task.jit_steps(donate=False)
+    batch = tiny_batch(jax.random.PRNGKey(4))
+    for _ in range(12):
+        state, _ = gen_step(state, batch)
+    mean1 = np.asarray(state.g_bn["encoder"][0]["mean"])
+    # the generator barely moves in 12 tiny steps, so the conv0 batch mean
+    # is ~constant: accumulated fraction must be ~1-0.9^12 = 0.72, not 0.1
+    state2 = task.init_state(jax.random.PRNGKey(0))
+    state2, _ = gen_step(state2, batch)
+    one = np.asarray(state2.g_bn["encoder"][0]["mean"])
+    scale = np.abs(mean1).max()
+    assert scale > 0
+    ratio = np.abs(mean1).sum() / max(np.abs(one).sum(), 1e-12)
+    assert 4.0 < ratio < 10.0, ratio  # (1-0.9^12)/0.1 = 7.2
+
+    # the GAN phase advances stats TWICE per step (reference regenerates
+    # with the updated generator in train mode, train_b02.py:225-233)
+    sa = task.init_state(jax.random.PRNGKey(0))
+    sa, _ = gan_step(sa, batch)
+    two = np.asarray(sa.g_bn["encoder"][0]["mean"])
+    ratio2 = np.abs(two).sum() / max(np.abs(one).sum(), 1e-12)
+    assert 1.5 < ratio2 < 2.5, ratio2  # (1-0.9^2)/0.1 = 1.9
