@@ -369,7 +369,12 @@ def main():
 
     # decide the fused-block lowering eagerly (same discipline as the conv
     # gate: the probe must not first fire inside the jit trace)
+    from svcc23_fastsvc_tpu.models.hnusfgan import _chain_max
+
     pd_lowering = ("pallas-fused" if _pd_mode_on(jnp.bfloat16) else "xla")
+    pd_chain = _chain_max(jnp.bfloat16) if pd_lowering == "pallas-fused" else 1
+    if pd_chain > 1:
+        pd_lowering = f"pallas-fused-chain{pd_chain}"
     print(f"b02 pd-block lowering: {pd_lowering}",
           file=__import__("sys").stderr)
 

@@ -58,16 +58,20 @@ def set_pallas_pd_mode(mode: str) -> None:
     _PALLAS_PD_VALIDATED.clear()
 
 
-def _pd_selfcheck(dtype) -> bool:
+def _pd_selfcheck(dtype, kind: str = "blocks") -> bool:
     """On-device check of the fused blocks vs the XLA path (one
     production-shaped case per block type at the requested compute dtype;
     compiles are minutes-class on the tunnel, so exactly one jit per impl).
+    kind="blocks" probes the single-block kernels, kind="chain" the
+    multi-block fixed chain (separate verdicts: a chain failure must not
+    disable the proven per-block path).
 
     Trace safety (the round-2 conv-gate lesson, VERDICT r2 weak #1): the
     first fused-eligible block apply usually happens inside a jit trace,
     where the probe's eager ops would be staged as tracers; run the probe
     body in a fresh thread there (JAX trace state is thread-local)."""
-    key = jnp.dtype(dtype).name
+    key = (jnp.dtype(dtype).name if kind == "blocks"
+           else f"{jnp.dtype(dtype).name}:{kind}")
     if key in _PALLAS_PD_VALIDATED:
         return _PALLAS_PD_VALIDATED[key]
     _PALLAS_PD_VALIDATED[key] = False  # re-entrancy guard while probing
@@ -75,6 +79,7 @@ def _pd_selfcheck(dtype) -> bool:
 
     from ..ops.conv import _inside_trace
 
+    probe = _pd_probe if kind == "blocks" else _chain_probe
     try:
         if _inside_trace():
             import threading
@@ -83,7 +88,7 @@ def _pd_selfcheck(dtype) -> bool:
 
             def _run():
                 try:
-                    out["ok"] = _pd_probe(dtype)
+                    out["ok"] = probe(dtype)
                 except BaseException as e:  # noqa: BLE001 — reported below
                     out["err"] = e
 
@@ -94,7 +99,7 @@ def _pd_selfcheck(dtype) -> bool:
                 raise out["err"]
             ok = out["ok"]
         else:
-            ok = _pd_probe(dtype)
+            ok = probe(dtype)
         _PALLAS_PD_VALIDATED[key] = bool(ok)
         if not ok:
             logging.getLogger(__name__).warning(
@@ -153,6 +158,68 @@ def _pd_probe(dtype) -> bool:
     )
     ok = ok and bool(np.allclose(yf_ref, yf_fus, rtol=tol, atol=tol))
     return ok
+
+
+def _chain_probe(dtype) -> bool:
+    """Chain-kernel probe: 3 fixed blocks (dilations 1, 2, 4 — one filter
+    cycle) fused vs applied sequentially through the XLA path, edge
+    reflection included."""
+    import numpy as np
+
+    from ..ops.pallas_pd_block import pd_fixed_chain
+
+    tol = 2e-2 if dtype == jnp.bfloat16 else 2e-4
+    dils = (1, 2, 4)
+    blks = [FixedBlock(residual_channels=64, gate_channels=128,
+                       skip_channels=64, aux_channels=62, dilation=d,
+                       use_weight_norm=False) for d in dils]
+    ps = [jax.tree.map(lambda v: v.astype(dtype),
+                       b.init(jax.random.PRNGKey(7 + i)))
+          for i, b in enumerate(blks)]
+    B, T = 2, 3200
+    kx, kc = jax.random.split(jax.random.PRNGKey(6))
+    x = jax.random.normal(kx, (B, T, 64), jnp.float32).astype(dtype)
+    c = jax.random.normal(kc, (B, T, 62), jnp.float32).astype(dtype)
+
+    def ref(x, c):
+        for b, p in zip(blks, ps):
+            x = b.apply(p, x, c)
+        return x
+
+    y_ref = np.asarray(jax.jit(ref)(x, c), np.float32)
+    y_fus = np.asarray(
+        jax.jit(lambda x, c: pd_fixed_chain(x, c, ps, dilations=dils))(x, c),
+        np.float32,
+    )
+    return bool(np.allclose(y_ref, y_fus, rtol=tol, atol=tol))
+
+
+def _chain_max(dtype=jnp.bfloat16) -> int:
+    """Max fused fixed-chain length: FASTSVC_PD_CHAIN (default 5, 0/1
+    disables chaining), active only when the chain kernel's own
+    self-check passes at this dtype."""
+    try:
+        n = int(_os.environ.get("FASTSVC_PD_CHAIN", "5"))
+    except ValueError:
+        return 1
+    if n < 2:
+        return 1
+    if _PALLAS_PD_MODE == "0":
+        return 1
+    if _PALLAS_PD_MODE == "1":
+        return n
+    try:
+        if jax.default_backend() == "tpu" and _pd_selfcheck(dtype, "chain"):
+            return n
+    except Exception:
+        pass
+    return 1
+
+
+def _fixed_chain_apply(params_list, x, c, dilations):
+    from ..ops.pallas_pd_block import pd_fixed_chain
+
+    return pd_fixed_chain(x, c, params_list, dilations=tuple(dilations))
 
 
 def _pd_mode_on(dtype=jnp.bfloat16) -> bool:
@@ -429,7 +496,11 @@ class ResidualBlocks:
     def apply(self, p, x, c, d):
         """x: (B, T, R); c: (B, T, aux); d: (B, T) dilation factors."""
         hop = self.pd_frame_hop
-        for (kind, dil, blk), bp in zip(self._blocks(), p["blocks"]):
+        blocks = list(zip(self._blocks(), p["blocks"]))
+        chain_max = _chain_max(x.dtype)
+        i = 0
+        while i < len(blocks):
+            (kind, dil, blk), bp = blocks[i]
             if kind == "A":
                 if (hop > 0 and x.shape[1] % hop == 0
                         and _pd_fused_enabled(bp, x.dtype)):
@@ -440,13 +511,39 @@ class ResidualBlocks:
                 else:
                     xP, xF = pd_indexing(x, d, dil)
                     x = blk.apply(bp, x, xP, xF, c)
+                i += 1
+                continue
+            fusible = (_fixed_fused_enabled(bp, x.dtype)
+                       and blk.dilation == dil
+                       and x.shape[1] % 32 == 0)
+            if fusible and chain_max >= 2:
+                # collect a run of consecutive fusible fixed blocks and
+                # apply them as ONE chain kernel (x/c read once, K-1
+                # intermediate streams never touch HBM)
+                from ..ops.pallas_pd_block import fixed_chain_offsets
+
+                run, j = [], i
+                while j < len(blocks) and len(run) < chain_max:
+                    (k2, d2, b2), p2 = blocks[j]
+                    if k2 != "F" or b2.dilation != d2 or not (
+                            _fixed_fused_enabled(p2, x.dtype)):
+                        break
+                    # reflect fix-ups need T past the grown halo
+                    if x.shape[1] < 2 * fixed_chain_offsets(
+                            [r[0] for r in run] + [d2])[-1]:
+                        break
+                    run.append((d2, p2))
+                    j += 1
+                if len(run) >= 2:
+                    x = _fixed_chain_apply([r[1] for r in run], x, c,
+                                           [r[0] for r in run])
+                    i = j
+                    continue
+            if fusible:
+                x = _fixed_fused_apply(bp, x, c, dil)
             else:
-                if (_fixed_fused_enabled(bp, x.dtype)
-                        and blk.dilation == dil
-                        and x.shape[1] % 32 == 0):
-                    x = _fixed_fused_apply(bp, x, c, dil)
-                else:
-                    x = blk.apply(bp, x, c)
+                x = blk.apply(bp, x, c)
+            i += 1
         return x
 
 

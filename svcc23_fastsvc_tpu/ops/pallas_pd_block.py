@@ -284,6 +284,186 @@ def pd_fixed_block(x, c, params, *, dilation: int, halo: int):
     )(x, x, x, lpad, rpad, c, w[0], w[1], w[2], wA, bg, wO, bO)
 
 
+def fixed_chain_offsets(dilations):
+    """Per-stage 32-aligned window offsets A_j for a fused chain of fixed
+    blocks: stage j computes window rows [A_j, 2H+S-A_j) and reads stage
+    j-1 at +-d_j, so A_j >= A_{j-1} + d_j (rounded to 32 sublanes for
+    store alignment). H = A_K is the chain halo."""
+    offs, cur = [], 0
+    for d in dilations:
+        cur = 32 * max(1, -(-(cur + d) // 32))
+        offs.append(cur)
+    return offs
+
+
+def _flip_rows(vals):
+    """Reverse the row (sublane) order of a (D, R) value. Mosaic has no
+    `rev` lowering; an antidiagonal-permutation matmul (P[i,j] = 1 iff
+    i + j == D-1) does it on the MXU, exactly (0/1 matrix, f32 accumulate,
+    bf16 values round-trip exact)."""
+    D = vals.shape[0]
+    i = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
+    perm = (i + j == D - 1).astype(jnp.float32)
+    return _dot(perm, vals.astype(jnp.float32)).astype(vals.dtype)
+
+
+def _chain_kernel(xl, xm, xr, lpad, rpad, cl, cm, cr, W3, WA, BG, WO, BO, y,
+                  Wa, Wb, Wc, *, S, H, dils, offs, T, r_ofs):
+    t = pl.program_id(1)
+    nT = pl.num_programs(1)
+    K = len(dils)
+
+    # window of the input stream over positions [t*S - H, t*S + S + H),
+    # with the first block's reflect padding fused via the host-computed
+    # edge blocks (same contract as pd_fixed_block)
+    Wa[0:H] = xl[0]
+    Wa[H : H + S] = xm[0]
+    Wa[H + S :] = xr[0]
+
+    @pl.when(t == 0)
+    def _():
+        Wa[0:H] = lpad[0]
+
+    @pl.when(t == nT - 1)
+    def _():
+        Wa[r_ofs : r_ofs + H] = rpad[0]
+
+    # conditioning window (halo rows feed the halo-range stage outputs;
+    # out-of-[0,T) garbage only reaches rows the reflect fix-ups rewrite)
+    Wc[0:H] = cl[0]
+    Wc[H : H + S] = cm[0]
+    Wc[H + S :] = cr[0]
+
+    rT = H + T - (nT - 1) * S  # window row of global position T (last tile)
+    bufs = (Wa, Wb)
+    for i in range(K):
+        src, dst = bufs[i % 2], bufs[(i + 1) % 2]
+        a, d = offs[i], dils[i]
+        L = 2 * H + S - 2 * a
+        xC = src[a : a + L, :]
+        h = (
+            _dot(src[a - d : a - d + L, :], W3[i, 0])
+            + _dot(xC, W3[i, 1])
+            + _dot(src[a + d : a + d + L, :], W3[i, 2])
+            + _dot(Wc[a : a + L, :], WA[i])
+            + BG[i].astype(jnp.float32)
+        )
+        G2 = h.shape[-1] // 2
+        z = jnp.tanh(h[:, :G2]) * jax.nn.sigmoid(h[:, G2:])
+        out = _dot(z.astype(src.dtype), WO[i]) + BO[i].astype(jnp.float32)
+        dst[a : a + L] = (
+            (out + xC.astype(jnp.float32)) * math.sqrt(0.5)
+        ).astype(dst.dtype)
+
+        if i < K - 1:
+            # the next stage reads this output `depth` rows past each
+            # global edge; rewrite those rows with the reference's
+            # ReflectionPad1d values (y[-k] = y[k], y[T-1+k] = y[T-1-k])
+            depth = H - offs[i + 1] + dils[i + 1]
+
+            @pl.when(t == 0)
+            def _():
+                dst[H - depth : H] = _flip_rows(dst[H + 1 : H + 1 + depth, :])
+
+            @pl.when(t == nT - 1)
+            def _():
+                dst[rT : rT + depth] = _flip_rows(
+                    dst[rT - 1 - depth : rT - 1, :]
+                )
+
+    final = bufs[K % 2]
+    y[0] = final[H : H + S, :]
+
+
+def pd_fixed_chain(x, c, params_list, *, dilations, tile_target: int = 3072):
+    """Fused forward of a CHAIN of K FixedBlocks in one pallas_call
+    (reference residual_block.py:75-173 applied K times back-to-back).
+
+    The per-block kernel (pd_fixed_block) re-reads the (B, T, R) stream
+    and the (B, T, A) conditioning from HBM and writes the stream back for
+    EVERY block — 3 stream round-trips per block. Chaining K blocks reads
+    x and c once and writes y once, with the K-1 intermediate streams kept
+    in VMEM scratch; the extra halo compute is 2*(H - A_j)/S per stage
+    (single-digit % at the production dilation cycles, whose halos are
+    32*K rows). Reflect padding for EVERY stage is fused: the first
+    block's via host edge blocks, later blocks' via in-kernel flips of
+    their own in-window output rows.
+
+    Args:
+        x: (B, T, R) UNPADDED stream, T % 32 == 0.
+        c: (B, T, A) conditioning.
+        params_list: K folded block param dicts {"conv","aux","out"}.
+        dilations: K static dilations (chain order).
+    Returns:
+        (B, T, R) output of block K.
+    """
+    B, T, R = x.shape
+    A_ch = c.shape[-1]
+    K = len(dilations)
+    assert len(params_list) == K and K >= 1
+    offs = fixed_chain_offsets(dilations)
+    H = offs[-1]
+    if T % 32:
+        raise ValueError("pd_fixed_chain: T must be 32-aligned")
+    S = H * max(1, -(-tile_target // H))
+    nT = max(-(-T // S), 1)
+
+    W3 = jnp.stack([p["conv"]["w"] for p in params_list])         # (K,3,R,G)
+    WA = jnp.stack([p["aux"]["w"][0] for p in params_list])       # (K,A,G)
+    BG = jnp.stack([p["conv"]["b"][None, :] for p in params_list])
+    WO = jnp.stack([p["out"]["w"][0] for p in params_list])       # (K,R,R)
+    BO = jnp.stack([p["out"]["b"][None, :] for p in params_list])
+
+    d1 = dilations[0]
+    zeros_l = jnp.zeros((B, H - d1, R), x.dtype)
+    lpad = jnp.concatenate(
+        [zeros_l, jnp.flip(x[:, 1 : d1 + 1], axis=1)], axis=1
+    )
+    ofs = H + (T - (nT - 1) * S)
+    delta = ofs % 32
+    r_ofs = ofs - delta
+    fill = H - delta - d1
+    rpad = jnp.concatenate(
+        [
+            x[:, T - delta : T],
+            jnp.flip(x[:, T - d1 - 1 : T - 1], axis=1),
+            jnp.zeros((B, fill, R), x.dtype),
+        ],
+        axis=1,
+    )
+
+    kernel = functools.partial(_chain_kernel, S=S, H=H,
+                               dils=tuple(dilations), offs=tuple(offs),
+                               T=T, r_ofs=r_ofs)
+    full = lambda shape: [  # noqa: E731
+        pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
+                     memory_space=pltpu.VMEM)
+    ]
+    edge = lambda: [  # noqa: E731 — per-batch (1, H, R) edge block
+        pl.BlockSpec((1, H, R), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, T, R), x.dtype),
+        grid=(B, nT),
+        in_specs=_halo_specs(S, H, R, T)
+        + edge() + edge()
+        + _halo_specs(S, H, A_ch, T)
+        + full(W3.shape) + full(WA.shape) + full(BG.shape)
+        + full(WO.shape) + full(BO.shape),
+        out_specs=pl.BlockSpec((1, S, R), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2 * H + S, R), x.dtype),
+            pltpu.VMEM((2 * H + S, R), x.dtype),
+            pltpu.VMEM((2 * H + S, A_ch), c.dtype),
+        ],
+        interpret=_interpret(),
+    )(x, x, x, lpad, rpad, c, c, c, W3, WA, BG, WO, BO)
+
+
 def pd_adaptive_block(x, c, shifts, params, *, hop: int, halo: int):
     """Fused adaptive-block forward.
 

@@ -168,3 +168,77 @@ def test_auto_probe_first_fires_inside_jit(monkeypatch):
                                    rtol=2e-5, atol=2e-5)
     finally:
         set_pallas_pd_mode("auto")
+
+
+@pytest.mark.parametrize("dils,T,dtype", [
+    ((1, 2, 4), 3200, jnp.float32),          # one filter cycle
+    ((1, 2, 4, 8, 16), 3200, jnp.float32),   # the noise net, whole
+    ((1, 2, 4, 1, 2, 4), 9600, jnp.float32),  # two cycles, multi-tile
+    ((1, 2, 4), 3200, jnp.bfloat16),
+    ((2,), 160, jnp.float32),                 # K=1, tiny single tile
+])
+def test_fixed_chain_matches_sequential(dils, T, dtype):
+    """The chain kernel (one pallas_call for K fixed blocks, intermediate
+    streams in VMEM, every stage's reflect pad fused) must equal the
+    blocks applied sequentially through the XLA path."""
+    from svcc23_fastsvc_tpu.models.hnusfgan import FixedBlock
+    from svcc23_fastsvc_tpu.ops.pallas_pd_block import pd_fixed_chain
+
+    B, R, G, A = 2, 16, 32, 10
+    blks = [FixedBlock(residual_channels=R, gate_channels=G,
+                       skip_channels=R, aux_channels=A, dilation=d,
+                       use_weight_norm=False) for d in dils]
+    ps = [jax.tree.map(lambda v: v.astype(dtype),
+                       b.init(jax.random.PRNGKey(20 + i)))
+          for i, b in enumerate(blks)]
+    x = jnp.asarray(RNG.standard_normal((B, T, R)), jnp.float32).astype(dtype)
+    c = jnp.asarray(RNG.standard_normal((B, T, A)), jnp.float32).astype(dtype)
+    ref = x
+    for b, p in zip(blks, ps):
+        ref = b.apply(p, ref, c)
+    out = pd_fixed_chain(x, c, ps, dilations=dils)
+    tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=tol, atol=tol,
+    )
+
+
+def test_generator_chain_mode_neutral(monkeypatch):
+    """Full generator forward with chained fixed blocks == per-block fused
+    == XLA (mode 0): the ResidualBlocks grouping must not change numerics
+    or skip/reorder blocks."""
+    monkeypatch.setenv("FASTSVC_PD_CHAIN", "5")
+    model = HNUSFGANGenerator(
+        harmonic_params=dict(blockA=2, cycleA=2, blockF=0, cycleF=0,
+                             cascade_mode=0),
+        noise_params=dict(blockA=0, cycleA=0, blockF=5, cycleF=5,
+                          cascade_mode=0),
+        filter_params=dict(blockA=0, cycleA=0, blockF=6, cycleF=3,
+                           cascade_mode=0),
+        residual_channels=16, gate_channels=32, skip_channels=16,
+        aux_channels=10, upsample_scales=(4, 5), pd_frame_hop=20,
+        use_weight_norm=False,
+    )
+    params = model.init(jax.random.PRNGKey(1))
+    B, Tf, hop = 2, 160, 20
+    x = jnp.asarray(RNG.standard_normal((B, Tf * hop, 2)), jnp.float32)
+    cc = jnp.asarray(
+        RNG.standard_normal((B, Tf + 2 * model.aux_context_window, 10)),
+        jnp.float32,
+    )
+    d = jnp.asarray(RNG.uniform(3.0, 12.0, (B, Tf)), jnp.float32)
+    d = jnp.repeat(d, hop, axis=1)
+    set_pallas_pd_mode("1")
+    try:
+        y1, s1 = model.apply(params, x, cc, d)
+        monkeypatch.setenv("FASTSVC_PD_CHAIN", "0")
+        y2, s2 = model.apply(params, x, cc, d)
+        set_pallas_pd_mode("0")
+        y0, s0 = model.apply(params, x, cc, d)
+    finally:
+        set_pallas_pd_mode("auto")
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-4, atol=1e-5)
