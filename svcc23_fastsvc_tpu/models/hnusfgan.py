@@ -195,11 +195,12 @@ def _chain_probe(dtype) -> bool:
 
 
 def _chain_max(dtype=jnp.bfloat16) -> int:
-    """Max fused fixed-chain length: FASTSVC_PD_CHAIN (default 5, 0/1
-    disables chaining), active only when the chain kernel's own
-    self-check passes at this dtype."""
+    """Max fused fixed-chain length: FASTSVC_PD_CHAIN (default 3 — one
+    filter dilation cycle, so the filter net's 10 cycles reuse a single
+    compiled kernel; 0/1 disables chaining), active only when the chain
+    kernel's own self-check passes at this dtype."""
     try:
-        n = int(_os.environ.get("FASTSVC_PD_CHAIN", "5"))
+        n = int(_os.environ.get("FASTSVC_PD_CHAIN", "3"))
     except ValueError:
         return 1
     if n < 2:
