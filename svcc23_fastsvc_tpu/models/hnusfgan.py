@@ -195,12 +195,16 @@ def _chain_probe(dtype) -> bool:
 
 
 def _chain_max(dtype=jnp.bfloat16) -> int:
-    """Max fused fixed-chain length: FASTSVC_PD_CHAIN (default 3 — one
-    filter dilation cycle, so the filter net's 10 cycles reuse a single
-    compiled kernel; 0/1 disables chaining), active only when the chain
-    kernel's own self-check passes at this dtype."""
+    """Max fused fixed-chain length: FASTSVC_PD_CHAIN (default 5; 0/1
+    disables chaining), active only when the chain kernel's own
+    self-check passes at this dtype. The halo budget (_chain_halo_max)
+    is what actually shapes production chains: the filter net's cycles
+    chain their small-dilation prefix (1,2,4,8,16 — one kernel reused
+    every cycle) and the noise net chains whole, while the 32..512
+    dilations stay per-block — each distinct chain is a minutes-class
+    Mosaic compile, so chains must be few and reusable."""
     try:
-        n = int(_os.environ.get("FASTSVC_PD_CHAIN", "3"))
+        n = int(_os.environ.get("FASTSVC_PD_CHAIN", "5"))
     except ValueError:
         return 1
     if n < 2:
@@ -215,6 +219,17 @@ def _chain_max(dtype=jnp.bfloat16) -> int:
     except Exception:
         pass
     return 1
+
+
+def _chain_halo_max() -> int:
+    """Halo budget for a fused chain (FASTSVC_PD_CHAIN_HALO, default 160
+    rows = the (1,2,4,8,16) filter-cycle prefix / five d=1 noise blocks).
+    Larger budgets admit the big filter dilations but every distinct
+    dilation pattern is its own kernel compile."""
+    try:
+        return int(_os.environ.get("FASTSVC_PD_CHAIN_HALO", "160"))
+    except ValueError:
+        return 160
 
 
 def _fixed_chain_apply(params_list, x, c, dilations):
@@ -523,15 +538,18 @@ class ResidualBlocks:
                 # intermediate streams never touch HBM)
                 from ..ops.pallas_pd_block import fixed_chain_offsets
 
+                halo_max = _chain_halo_max()
                 run, j = [], i
                 while j < len(blocks) and len(run) < chain_max:
                     (k2, d2, b2), p2 = blocks[j]
                     if k2 != "F" or b2.dilation != d2 or not (
                             _fixed_fused_enabled(p2, x.dtype)):
                         break
+                    halo = fixed_chain_offsets(
+                        [r[0] for r in run] + [d2])[-1]
+                    # halo budget bounds kernel count/compile cost;
                     # reflect fix-ups need T past the grown halo
-                    if x.shape[1] < 2 * fixed_chain_offsets(
-                            [r[0] for r in run] + [d2])[-1]:
+                    if halo > halo_max or x.shape[1] < 2 * halo:
                         break
                     run.append((d2, p2))
                     j += 1
