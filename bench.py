@@ -288,7 +288,16 @@ def main():
     ap.add_argument("--k2", type=int, default=60)
     ap.add_argument("--sections", default="all",
                     help="comma-separated subset of section names to run")
+    ap.add_argument("--budget-s", type=float,
+                    default=float(__import__("os").environ.get(
+                        "FASTSVC_BENCH_BUDGET_S", "2400")),
+                    help="soft wall-clock budget: a section that would "
+                         "START after this many seconds is skipped and "
+                         "recorded as skipped_budget (the driver's hard "
+                         "timeout must never be the thing that ends the "
+                         "run)")
     args = ap.parse_args()
+    t_start = time.perf_counter()
 
     # Reference training shape: batch 32 x 1 s (conf/fastsvc.yaml:71-72),
     # evaluated at 24 kHz per the BASELINE metric (150 frames x hop 160).
@@ -637,6 +646,12 @@ def main():
     errors = {}
     for name, fn in sections:
         if wanted is not None and name not in wanted:
+            continue
+        elapsed = time.perf_counter() - t_start
+        if elapsed > args.budget_s:
+            result.setdefault("skipped_budget", []).append(name)
+            print(f"section {name} skipped: {elapsed:.0f}s elapsed > "
+                  f"budget {args.budget_s:.0f}s", file=sys.stderr)
             continue
         t0 = time.perf_counter()
         try:
