@@ -197,14 +197,15 @@ def _chain_probe(dtype) -> bool:
 def _chain_max(dtype=jnp.bfloat16) -> int:
     """Max fused fixed-chain length: FASTSVC_PD_CHAIN (default 0 = OFF;
     0/1 disables chaining), active only when the chain kernel's own
-    self-check passes at this dtype. OFF by default: every distinct
-    chain is a minutes-class Mosaic compile (the chain self-check alone
-    was measured at ~158 s on a v5e vs 16 s for the per-block probe),
-    so chaining must prove a steady-state win large enough to repay
-    that at realistic decode session lengths before it may default on
-    (VERDICT r4 weak #2; A/B tool: tools/chain_ab.py). The halo budget
-    (_chain_halo_max) shapes what a chain run may group when chaining
-    is opted into."""
+    self-check passes at this dtype. OFF on a measured negative
+    (CHAIN_AB_r05.json, docs/PERF_r05.md §3; tools/chain_ab.py): at the
+    bench shape on a v5e, chain3 is 3.5% SLOWER than the per-block
+    kernels (18.42 vs 17.80 ms/fwd) and chain5 ties within noise while
+    paying ~140 s of extra gate+compile startup per session — there is
+    no session length at which chaining wins. Kept as exact
+    (checksum-identical), interpret-tested research code. The halo
+    budget (_chain_halo_max) shapes what a chain run may group when
+    chaining is opted into."""
     try:
         n = int(_os.environ.get("FASTSVC_PD_CHAIN", "0"))
     except ValueError:
