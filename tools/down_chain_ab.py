@@ -70,46 +70,54 @@ def main():
     for dt_name, dt, tol in (("bf16", jnp.bfloat16, 3e-2),
                              ("f32", jnp.float32, 2e-4)):
         for cin, c, T in BLOCKS:
-            blk = DownsampleBlock(cin, c, scale=1, use_weight_norm=True)
-            params = jax.tree.map(
-                lambda v: v.astype(dt),
-                fold_weight_norm(blk.init(jax.random.PRNGKey(0))),
-            )
-            x = jax.random.normal(
-                jax.random.PRNGKey(1), (B, T, cin)).astype(dt)
             tag = f"{dt_name}_c{cin}to{c}_T{T}"
-
-            def xla_fn(p, xx):
-                return blk.apply(p, xx)
-
-            def fus_fn(p, xx):
-                return down_chain_fwd(xx, p)
-
-            t0 = time.perf_counter()
-            y_ref = np.asarray(jax.device_get(
-                jax.jit(xla_fn)(params, x)), np.float32)
-            out[f"{tag}_xla_compile_s"] = round(time.perf_counter() - t0, 1)
-            t0 = time.perf_counter()
-            y_fus = np.asarray(jax.device_get(
-                jax.jit(fus_fn)(params, x)), np.float32)
-            out[f"{tag}_fused_compile_s"] = round(time.perf_counter() - t0, 1)
-            out[f"{tag}_allclose"] = bool(
-                np.allclose(y_ref, y_fus, rtol=tol, atol=tol))
-            out[f"{tag}_maxdiff"] = float(np.abs(y_ref - y_fus).max())
-
-            out[f"{tag}_xla_ms"] = round(
-                time_scan(xla_fn, (params, x)) * 1e3, 3)
-            out[f"{tag}_fused_ms"] = round(
-                time_scan(fus_fn, (params, x)) * 1e3, 3)
-            print(f"{tag}: xla {out[f'{tag}_xla_ms']} ms, fused "
-                  f"{out[f'{tag}_fused_ms']} ms, allclose "
-                  f"{out[f'{tag}_allclose']}", file=sys.stderr, flush=True)
+            try:
+                _run_case(out, dt, tol, cin, c, T, tag)
+            except Exception as e:  # record (e.g. f32 VMEM OOM) and go on
+                out[f"{tag}_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+                print(f"{tag} FAILED: {out[f'{tag}_error']}",
+                      file=sys.stderr, flush=True)
 
     text = json.dumps(out, indent=1)
     print(text)
     if args.out:
         with open(args.out, "w") as f:
             f.write(text + "\n")
+
+
+def _run_case(out, dt, tol, cin, c, T, tag):
+    blk = DownsampleBlock(cin, c, scale=1, use_weight_norm=True)
+    params = jax.tree.map(
+        lambda v: v.astype(dt),
+        fold_weight_norm(blk.init(jax.random.PRNGKey(0))),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, cin)).astype(dt)
+
+    def xla_fn(p, xx):
+        return blk.apply(p, xx)
+
+    # f32 doubles every scratch buffer and the C<=48 lane padding already
+    # wastes most of each VMEM row; the default 3072-row tile OOMs scoped
+    # vmem at f32 (16.7M > 16M), so halve it there
+    tile = 3072 if dt == jnp.bfloat16 else 1152
+
+    def fus_fn(p, xx):
+        return down_chain_fwd(xx, p, tile_target=tile)
+
+    t0 = time.perf_counter()
+    y_ref = np.asarray(jax.device_get(jax.jit(xla_fn)(params, x)), np.float32)
+    out[f"{tag}_xla_compile_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    y_fus = np.asarray(jax.device_get(jax.jit(fus_fn)(params, x)), np.float32)
+    out[f"{tag}_fused_compile_s"] = round(time.perf_counter() - t0, 1)
+    out[f"{tag}_allclose"] = bool(np.allclose(y_ref, y_fus, rtol=tol, atol=tol))
+    out[f"{tag}_maxdiff"] = float(np.abs(y_ref - y_fus).max())
+
+    out[f"{tag}_xla_ms"] = round(time_scan(xla_fn, (params, x)) * 1e3, 3)
+    out[f"{tag}_fused_ms"] = round(time_scan(fus_fn, (params, x)) * 1e3, 3)
+    print(f"{tag}: xla {out[f'{tag}_xla_ms']} ms, fused "
+          f"{out[f'{tag}_fused_ms']} ms, allclose {out[f'{tag}_allclose']}",
+          file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
