@@ -193,8 +193,20 @@ class FastSVCTrainTask:
             return tree
         return jax.lax.pmean(tree, self.pmean_axis)
 
+    def _unwire(self, batch):
+        """Invert the host->device transfer wire format (data/wire.py:
+        int16 audio, bf16 ppg, frame-rate lft) inside the jitted step.
+        Idempotent — plain f32 batches pass through untouched, so eval
+        and dump paths need no flag."""
+        from ..data.wire import unpack_batch
+
+        return unpack_batch(
+            batch, hop_size=self.signal_generator.hop_size
+        )
+
     def gen_step(self, state: GANTrainState, batch) -> tuple:
         """Phase A: generator-only update."""
+        batch = self._unwire(batch)
         rng, k_sine = jax.random.split(state.rng)
         grads, metrics = jax.grad(
             lambda p: self._gen_loss(p, state.d_params, batch, k_sine, with_adv=False),
@@ -213,6 +225,7 @@ class FastSVCTrainTask:
 
     def gan_step(self, state: GANTrainState, batch) -> tuple:
         """Phase B: generator update with adversarial term + D update."""
+        batch = self._unwire(batch)
         rng, k_sine = jax.random.split(state.rng)
         grads, metrics = jax.grad(
             lambda p: self._gen_loss(p, state.d_params, batch, k_sine, with_adv=True),
@@ -253,6 +266,7 @@ class FastSVCTrainTask:
 
     def eval_step(self, state: GANTrainState, batch, *, with_adv: bool = True):
         """Loss evaluation without updates (reference _eval_step)."""
+        batch = self._unwire(batch)
         _, k_sine = jax.random.split(state.rng)
         _, metrics = self._gen_loss(
             state.g_params, state.d_params, batch, k_sine, with_adv=with_adv

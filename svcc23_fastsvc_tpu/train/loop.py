@@ -214,6 +214,30 @@ class Trainer:
             self._eval_step_warmup = self._eval_step_adv = jax.jit(
                 lambda s, b: task.eval_step(s, b)
             )
+        # Optional transfer wire format (config wire_format: packed):
+        # int16 audio + bf16 ppg + frame-rate lft over the host->device
+        # link, unpacked inside the jitted step (data/wire.py documents
+        # the exactness contract). Only meaningful with bf16 compute —
+        # the bf16-quantized ppg is exact precisely because the step
+        # casts it to bf16 anyway.
+        wf = str(config.get("wire_format", "f32"))
+        if wf not in ("f32", "packed"):
+            raise ValueError(f"unknown wire_format {wf!r}")
+        if wf == "packed":
+            if str(config.get("compute_dtype", "")) not in (
+                "bfloat16", "bf16",
+            ):
+                raise ValueError(
+                    "wire_format: packed requires compute_dtype bfloat16 "
+                    "(bf16 ppg/lft on the wire are only exact when the "
+                    "step casts to bf16 anyway)"
+                )
+            from ..data.wire import WirePacker
+
+            self._pack = WirePacker(hop_size=int(config["hop_size"]))
+            logging.info("transfer wire format: packed")
+        else:
+            self._pack = lambda b: b
         # metrics stay on device until the log flush so _train_step never
         # blocks on a transfer (keeps async dispatch fully pipelined)
         self._pending = []
@@ -285,8 +309,16 @@ class Trainer:
         # blocked on the batch producer, step_wait_s = blocked inside the
         # step call (async dispatch normally returns immediately — large
         # values mean the device queue back-pressured, i.e. compute or
-        # tunnel), eval_s / save_s = pauses for eval and checkpoints.
-        waits = {"data": 0.0, "step": 0.0, "eval": 0.0, "save": 0.0}
+        # tunnel), drain_s = blocked in the log flush's device_get until
+        # the dispatched queue finished, eval_s / save_s = pauses for
+        # eval and checkpoints. The interval rate is computed AFTER the
+        # drain, so audio_s_per_s is true wall throughput: an async
+        # backend that acks dispatches early cannot inflate it (the
+        # pre-round-5 metric reset its clock after the drain, crediting
+        # the queue-drain time to no interval at all, and overstated the
+        # tunnel-backend CLI rate ~3x; SOAK_r03.json carries that flaw).
+        waits = {"data": 0.0, "step": 0.0, "drain": 0.0, "eval": 0.0,
+                 "save": 0.0}
 
         step = int(jax.device_get(self.state.step))
         # Warm-up fast-forward: with generator_train_start_steps > 0 neither
@@ -330,9 +362,9 @@ class Trainer:
 
                     t0 = time.time()
                     bs = [next(self.train_iter) for _ in range(k)]
-                    batches = self._shard_stacked(
+                    batches = self._shard_stacked(self._pack(
                         jax.tree.map(lambda *xs: _np.stack(xs), *bs)
-                    )
+                    ))
                     waits["data"] += time.time() - t0
                     fn = self._gan_multi if step > d_start else self._gen_multi
                     t0 = time.time()
@@ -344,7 +376,7 @@ class Trainer:
                     step += k
                 else:
                     t0 = time.time()
-                    batch = self._shard(next(self.train_iter))
+                    batch = self._shard(self._pack(next(self.train_iter)))
                     waits["data"] += time.time() - t0
                     t0 = time.time()
                     if step > d_start:
@@ -356,16 +388,26 @@ class Trainer:
                 self._accumulate(metrics)
 
                 if step % log_iv == 0:
+                    # drain the device queue FIRST so dt covers the full
+                    # wall cost of this interval's steps (see the waits
+                    # comment above — this is what makes the rate honest
+                    # on async/remote backends)
+                    t0 = time.time()
+                    host_metrics = (
+                        jax.device_get(self._pending) if self._pending else []
+                    )
+                    waits["drain"] = time.time() - t0
                     dt = time.time() - t_last
                     sps = (step - steps_last) / dt if dt > 0 else 0.0
                     audio_s = (
                         cfg["batch_size"] * cfg["batch_length"] / cfg["sampling_rate"]
                     )
-                    self._flush_logs(step, extra={
+                    self._flush_logs(step, host=host_metrics, extra={
                         "steps_per_s": sps,
                         "audio_s_per_s": sps * audio_s,
                         "data_wait_s": waits["data"],
                         "step_wait_s": waits["step"],
+                        "drain_s": waits["drain"],
                         "eval_s": waits["eval"],
                         "save_s": waits["save"],
                     })
@@ -392,10 +434,11 @@ class Trainer:
     def _accumulate(self, metrics):
         self._pending.append(metrics)
 
-    def _flush_logs(self, step, extra=None):
+    def _flush_logs(self, step, extra=None, host=None):
         items = defaultdict(float)
-        if self._pending:
+        if host is None and self._pending:
             host = jax.device_get(self._pending)  # one batched transfer
+        if host:
             for m in host:
                 for k, v in m.items():
                     items[k] += float(v)

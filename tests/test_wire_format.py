@@ -1,0 +1,137 @@
+"""Transfer wire format (data/wire.py): exactness contract + step parity.
+
+The packed wire (int16 audio, bf16 ppg, frame-rate lft) exists for
+transfer-bandwidth-bound links (docs/PERF_r05.md §6). These tests pin the
+exactness claims: PCM16-grid audio round-trips bit-exact, hop-constant
+loudness round-trips bit-exact, and a bf16-compute gan_step produces the
+same metrics from a packed batch as from the raw f32 batch.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svcc23_fastsvc_tpu.data.wire import WirePacker, unpack_batch
+
+HOP = 20
+
+
+def _batch(rng, B=2, F=10, hop=HOP, pcm=True, hop_constant=True):
+    T = F * hop
+    wave = 0.3 * np.sin(
+        2 * np.pi * 220.0 * np.arange(T) / 4000.0
+    ) + 0.01 * rng.standard_normal(T)
+    wave = np.broadcast_to(wave.astype(np.float32)[None, :, None], (B, T, 1))
+    if pcm:
+        wave = np.clip(np.round(wave * 32768.0), -32768, 32767) / 32768.0
+        wave = wave.astype(np.float32)
+    if hop_constant:
+        lft = np.repeat(
+            rng.standard_normal((B, F, 1)).astype(np.float32), hop, axis=1
+        )
+    else:
+        lft = rng.standard_normal((B, T, 1)).astype(np.float32)
+    return {
+        "audio": np.ascontiguousarray(wave),
+        "lft": lft,
+        "ppg": rng.standard_normal((B, F, 8)).astype(np.float32),
+        "f0": np.full((B, F, 1), 220.0, np.float32),
+        "spk_emb": rng.standard_normal((B, 12)).astype(np.float32),
+    }
+
+
+def test_pcm_audio_roundtrip_exact():
+    b = _batch(np.random.default_rng(0))
+    packed = WirePacker(hop_size=HOP)(b)
+    assert packed["audio"].dtype == np.int16
+    out = unpack_batch(
+        jax.tree.map(jnp.asarray, packed), hop_size=HOP
+    )
+    np.testing.assert_array_equal(np.asarray(out["audio"]), b["audio"])
+
+
+def test_frame_lft_roundtrip_exact():
+    b = _batch(np.random.default_rng(1))
+    packed = WirePacker(hop_size=HOP)(b)
+    assert packed["lft"].shape[-2] == b["lft"].shape[-2] // HOP
+    assert packed["lft"].dtype == np.float32  # frame path keeps f32
+    out = unpack_batch(jax.tree.map(jnp.asarray, packed), hop_size=HOP)
+    np.testing.assert_array_equal(np.asarray(out["lft"]), b["lft"])
+
+
+def test_non_hop_constant_lft_falls_back_to_bf16():
+    b = _batch(np.random.default_rng(2), hop_constant=False)
+    packed = WirePacker(hop_size=HOP)(b)
+    # full-rate, bf16: shape preserved, values quantized
+    assert packed["lft"].shape == b["lft"].shape
+    assert packed["lft"].dtype != np.float32
+    out = unpack_batch(jax.tree.map(jnp.asarray, packed), hop_size=HOP)
+    np.testing.assert_allclose(
+        np.asarray(out["lft"], np.float32), b["lft"], rtol=1e-2, atol=1e-2
+    )
+
+
+def test_stacked_batch_axes():
+    """Packer handles (K, B, T, C) multi-step stacks (time axis -2)."""
+    rng = np.random.default_rng(3)
+    bs = [_batch(rng) for _ in range(3)]
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *bs)
+    packed = WirePacker(hop_size=HOP)(stacked)
+    assert packed["audio"].dtype == np.int16
+    assert packed["lft"].shape == (3, 2, 10, 1)
+    out = unpack_batch(jax.tree.map(jnp.asarray, packed), hop_size=HOP)
+    np.testing.assert_array_equal(np.asarray(out["audio"]), stacked["audio"])
+    np.testing.assert_array_equal(np.asarray(out["lft"]), stacked["lft"])
+
+
+def test_unpack_idempotent_on_f32_batches():
+    b = jax.tree.map(jnp.asarray, _batch(np.random.default_rng(4)))
+    out = unpack_batch(b, hop_size=HOP)
+    for k in b:
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(b[k]))
+
+
+def test_packed_gan_step_matches_f32_wire():
+    """bf16-compute gan_step: packed batch gives the same losses as the
+    raw f32 batch (the whole point of the exactness contract)."""
+    from svcc23_fastsvc_tpu.losses import MultiResolutionSTFTLoss
+    from svcc23_fastsvc_tpu.models.fastsvc import (
+        FastSVCGenerator,
+        MelGANMultiScaleDiscriminator,
+    )
+    from svcc23_fastsvc_tpu.ops import SignalGenerator
+    from svcc23_fastsvc_tpu.train import FastSVCTrainTask, make_optimizer
+
+    task = FastSVCTrainTask(
+        generator=FastSVCGenerator(
+            in_channels=8, mid_channels=(16, 8), upsampling_scales=(4, 5),
+            spk_emb_size=12, use_spk_emb=True,
+        ),
+        discriminator=MelGANMultiScaleDiscriminator(
+            scales=2, channels=4, max_downsample_channels=32,
+            downsample_scales=(4, 4),
+        ),
+        g_tx=make_optimizer(lr=1e-3, grad_norm=10.0),
+        d_tx=make_optimizer(lr=1e-3, grad_norm=1.0),
+        signal_generator=SignalGenerator(
+            sample_rate=4000, hop_size=HOP, noise_amp=0.0
+        ),
+        stft_loss=MultiResolutionSTFTLoss((64, 128), (16, 32), (64, 128)),
+        lambda_adv=2.5,
+        compute_dtype=jnp.bfloat16,
+    )
+    b = _batch(np.random.default_rng(5))
+    packed = WirePacker(hop_size=HOP)(b)
+
+    def run(batch):
+        state = task.init_state(jax.random.PRNGKey(0))
+        _, m = jax.jit(task.gan_step)(
+            state, jax.tree.map(jnp.asarray, batch)
+        )
+        return {k: float(v) for k, v in m.items()}
+
+    m_raw, m_packed = run(b), run(packed)
+    assert m_raw.keys() == m_packed.keys()
+    for k in m_raw:
+        assert m_raw[k] == pytest.approx(m_packed[k], rel=1e-5, abs=1e-6), k

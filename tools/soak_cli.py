@@ -19,7 +19,17 @@ Round-4 additions:
   * --eval-every N: periodic eval + intermediate wav/png artifacts against
     a dev split (checkpoint rotation exercised via save_interval_steps).
 
-Usage: python tools/soak_cli.py [--steps 5000] [--out SOAK_r04.json]
+Round-5 additions:
+  * honest rate metric: the loop now counts the log-flush device-queue
+    drain inside each interval's wall time (train/loop.py), so the rate
+    cannot be inflated by async backends that ack dispatches early.
+    SOAK_r03.json predates this and overstated the tunnel-backend rate.
+  * --wire packed|f32: host->device transfer wire format (data/wire.py,
+    int16 audio + bf16 ppg + frame-rate lft, exact for the production
+    pipeline); the synthetic corpus is PCM16-quantized and hop-constant
+    in loudness like real preprocess output, so packed is bit-exact.
+
+Usage: python tools/soak_cli.py [--steps 5000] [--out SOAK_r05.json]
 """
 
 import argparse
@@ -57,18 +67,32 @@ def write_corpus(dumpdir: str, n_utts: int = 48, dur_s: float = 2.0):
         phase = 2 * np.pi * np.cumsum(f0_curve) / SR
         wave = 0.3 * np.sin(phase) + 0.15 * np.sin(2 * phase)
         wave += 0.01 * rng.standard_normal(T)
+        # quantize to the PCM16 grid — real wavs are 16-bit PCM decoded as
+        # k/32768 (reference scp_dataset.py:150), which also makes the
+        # int16 transfer wire format (data/wire.py) bit-exact
+        wave = np.clip(np.round(wave * 32768.0), -32768, 32767) / 32768.0
+        # loudness is hop-constant at sample rate in the real pipeline
+        # (preprocess Stretch2d(hop,1) nearest upsample)
+        lft = np.repeat(
+            0.1 * rng.standard_normal(F).astype(np.float32), HOP
+        )
         path = os.path.join(dumpdir, f"utt{i:04d}.h5")
         write_hdf5(path, "wave", wave.astype(np.float32))
         write_hdf5(path, "f0", f0_curve[::HOP][:F].astype(np.float32))
         write_hdf5(path, "ppg", rng.standard_normal((F, 144)).astype(np.float32))
-        write_hdf5(path, "lft",
-                   (0.1 * rng.standard_normal(T)).astype(np.float32))
+        write_hdf5(path, "lft", lft)
         write_hdf5(path, "spk_emb",
                    rng.standard_normal(512).astype(np.float32))
 
 
-def soak_config(steps: int, eval_every: int = 0, save_every: int = 0) -> dict:
+def soak_config(steps: int, eval_every: int = 0, save_every: int = 0,
+                wire: str = "packed") -> dict:
     return {
+        # transfer wire format (data/wire.py): int16 audio + bf16 ppg +
+        # frame-rate lft halve-or-better the per-step host->device bytes;
+        # on remote-tunnel backends (~36 MB/s h2d) the f32 wire is
+        # transfer-bound at ~250 ms/step vs the 97.7 ms device program
+        "wire_format": wire,
         "sampling_rate": SR,
         "hop_size": HOP,
         "batch_size": 32,
@@ -109,8 +133,8 @@ def soak_config(steps: int, eval_every: int = 0, save_every: int = 0) -> dict:
     }
 
 
-_FIELDS = ("audio_s_per_s", "data_wait_s", "step_wait_s", "eval_s", "save_s",
-           "discriminator_loss")
+_FIELDS = ("audio_s_per_s", "data_wait_s", "step_wait_s", "drain_s",
+           "eval_s", "save_s", "discriminator_loss")
 
 
 def parse_intervals(log: str):
@@ -177,6 +201,8 @@ def main():
     ap.add_argument("--eval-every", type=int, default=0,
                     help="eval_interval_steps (enables dev split + artifacts)")
     ap.add_argument("--save-every", type=int, default=0)
+    ap.add_argument("--wire", choices=("packed", "f32"), default="packed",
+                    help="host->device transfer wire format (data/wire.py)")
     args = ap.parse_args()
 
     work = args.workdir or tempfile.mkdtemp(prefix="soak_")
@@ -189,7 +215,8 @@ def main():
 
     with open(cfg_path, "w") as f:
         yaml.safe_dump(
-            soak_config(args.steps, args.eval_every, args.save_every), f
+            soak_config(args.steps, args.eval_every, args.save_every,
+                        args.wire), f
         )
 
     cmd = [
@@ -262,6 +289,7 @@ def main():
                 "audio_s_per_s": d["audio_s_per_s"],
                 "data_wait_s": d.get("data_wait_s"),
                 "step_wait_s": d.get("step_wait_s"),
+                "drain_s": d.get("drain_s"),
                 "eval_s": d.get("eval_s"),
                 "save_s": d.get("save_s"),
             })
@@ -282,10 +310,17 @@ def main():
         "dips_below_80pct_of_median": dips,
         "preemption_drill": preempt_info,
         "conv_lowering": lowering.group(1) if lowering else None,
+        "wire_format": args.wire,
         "final_discriminator_loss": losses[-1] if losses else None,
         "wall_s": round(wall, 1),
-        "config": "batch 32 x 1 s @ 24 kHz, [5,4,4,2], bf16, steps_per_call "
-                  "16, native producer 4 threads, full GAN phase",
+        "rate_metric_note": (
+            "audio_s_per_s intervals include the log-flush device-queue "
+            "drain (train/loop.py round-5 fix) — honest wall throughput; "
+            "SOAK_r03.json predates the fix and overstated the rate"
+        ),
+        "config": f"batch 32 x 1 s @ 24 kHz, [5,4,4,2], bf16, steps_per_call "
+                  f"16, native producer 4 threads, full GAN phase, "
+                  f"wire_format {args.wire}",
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
