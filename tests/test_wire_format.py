@@ -92,6 +92,97 @@ def test_unpack_idempotent_on_f32_batches():
         np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(b[k]))
 
 
+def test_packed_wire_through_train_cli(tmp_path):
+    """Full train CLI with wire_format: packed runs end to end (loop-level
+    packer integration: stacked multi-step batches, native/threaded
+    batcher, logging) and the guard rejects packed + f32 compute."""
+    import os
+    import subprocess
+    import sys
+
+    import yaml
+
+    from svcc23_fastsvc_tpu.data.hdf5 import write_hdf5
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sr, hop = 16000, 160
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    rng = np.random.default_rng(0)
+    frames = 120
+    for j in range(3):
+        n = frames * hop
+        wave = 0.3 * rng.standard_normal(n)
+        wave = np.clip(np.round(wave * 32768), -32768, 32767) / 32768
+        write_hdf5(str(dump / f"utt{j}.h5"), "wave", wave.astype(np.float32))
+        write_hdf5(str(dump / f"utt{j}.h5"), "f0",
+                   np.full(frames, 150.0, np.float32))
+        write_hdf5(str(dump / f"utt{j}.h5"), "ppg",
+                   rng.standard_normal((frames, 8)).astype(np.float32))
+        write_hdf5(str(dump / f"utt{j}.h5"), "lft",
+                   np.repeat(rng.standard_normal(frames), hop).astype(
+                       np.float32))
+        write_hdf5(str(dump / f"utt{j}.h5"), "spk_emb",
+                   rng.standard_normal((1, 16)).astype(np.float32))
+    cfg = {
+        "sampling_rate": sr, "hop_size": hop,
+        "generator_params": {
+            "in_channels": 8, "mid_channels": [4, 4],
+            "upsampling_scales": [8, 20], "spk_emb_size": 16,
+            "use_spk_emb": True,
+        },
+        "discriminator_params": {
+            "scales": 1, "channels": 4,
+            "max_downsample_channels": 8, "downsample_scales": [4],
+        },
+        "stft_loss_params": {
+            "fft_sizes": [64], "hop_sizes": [16], "win_lengths": [64],
+        },
+        "batch_size": 2, "batch_length": 1600,
+        "signal_generator": {"sine_amp": 0.1, "noise_amp": 0.0,
+                             "signal_types": ["sine"]},
+        "discriminator_train_start_steps": 0,
+        "train_max_steps": 6, "save_interval_steps": 100000,
+        "eval_interval_steps": 100000, "log_interval_steps": 3,
+        "loader_threads": 2, "steps_per_call": 3,
+        "compute_dtype": "bfloat16", "wire_format": "packed",
+    }
+    (tmp_path / "config.yml").write_text(yaml.safe_dump(cfg))
+    launch = (
+        "import sys\nimport jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from svcc23_fastsvc_tpu.bin.train_fastsvc import main\n"
+        "main(sys.argv[1:])\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    r = subprocess.run(
+        [sys.executable, "-c", launch,
+         "--train-dumpdir", str(dump), "--outdir", str(tmp_path / "exp"),
+         "--config", str(tmp_path / "config.yml"), "--n-devices", "1"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=900,
+    )
+    out = r.stdout + r.stderr
+    assert r.returncode == 0, out[-3000:]
+    assert "transfer wire format: packed" in out
+    assert "wire: audio f32->int16" in out
+    assert "frame-rate f32 (hop-constant)" in out
+    assert "finished training" in out
+
+    # guard: packed wire without bf16 compute must be refused
+    cfg_bad = dict(cfg)
+    del cfg_bad["compute_dtype"]
+    (tmp_path / "config_bad.yml").write_text(yaml.safe_dump(cfg_bad))
+    r2 = subprocess.run(
+        [sys.executable, "-c", launch,
+         "--train-dumpdir", str(dump), "--outdir", str(tmp_path / "exp2"),
+         "--config", str(tmp_path / "config_bad.yml"), "--n-devices", "1"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=900,
+    )
+    assert r2.returncode != 0
+    assert "requires compute_dtype bfloat16" in (r2.stdout + r2.stderr)
+
+
 def test_packed_gan_step_matches_f32_wire():
     """bf16-compute gan_step: packed batch gives the same losses as the
     raw f32 batch (the whole point of the exactness contract)."""
