@@ -242,3 +242,31 @@ def test_generator_chain_mode_neutral(monkeypatch):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fixed_chain_rejects_short_stream():
+    """T < 2*H lets the chain kernel's left/right reflect fix-up row
+    ranges overlap, silently deviating from sequential ReflectionPad
+    semantics. The model path gates on this (ResidualBlocks.apply breaks
+    chaining when x.shape[1] < 2*halo); direct callers must get a hard
+    error instead of wrong numerics (round-4 advisor finding)."""
+    from svcc23_fastsvc_tpu.models.hnusfgan import FixedBlock
+    from svcc23_fastsvc_tpu.ops.pallas_pd_block import (
+        fixed_chain_offsets,
+        pd_fixed_chain,
+    )
+
+    dils = (1, 2, 4)
+    B, R, G, A = 1, 16, 32, 10
+    blks = [FixedBlock(residual_channels=R, gate_channels=G,
+                       skip_channels=R, aux_channels=A, dilation=d,
+                       use_weight_norm=False) for d in dils]
+    ps = [b.init(jax.random.PRNGKey(i)) for i, b in enumerate(blks)]
+    H = fixed_chain_offsets(dils)[-1]
+    T = 2 * H - 32  # 32-aligned but below the reflect-overlap floor
+    x = jnp.zeros((B, T, R), jnp.float32)
+    c = jnp.zeros((B, T, A), jnp.float32)
+    with pytest.raises(ValueError, match=r"2 \* chain"):
+        pd_fixed_chain(x, c, ps, dilations=dils)
+    with pytest.raises(ValueError, match="32-aligned"):
+        pd_fixed_chain(x[:, :48], c[:, :48], ps, dilations=dils)
