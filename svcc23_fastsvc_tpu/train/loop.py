@@ -20,6 +20,7 @@ from collections import defaultdict
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .checkpoint import latest_step, load_checkpoint, load_params_only, save_checkpoint
@@ -491,6 +492,16 @@ class Trainer:
             from ..bin.common import write_wav
 
             batch = next(iter(self.dev_batcher))
+            # This is the one EAGER call of task._forward: the batch must
+            # be (a) unwired — the steps invert the transfer wire format
+            # internally (data/wire.py) but this path reads batch["audio"]
+            # raw — and (b) converted to jax arrays, because _cast'ing a
+            # HOST numpy array yields numpy-bf16 whose ml_dtypes promotion
+            # silently upcasts (bf16 * python-float -> f32) where a traced
+            # jax array stays bf16; the resulting mixed-dtype conv made
+            # every bf16-compute run's intermediate dump fail quietly.
+            unwire = getattr(self.task, "_unwire", lambda b: b)
+            batch = jax.tree.map(jnp.asarray, unwire(batch))
             key = jax.random.PRNGKey(step)
             y_hat = jax.device_get(
                 self.task._forward(self.state.g_params, self._shard(batch), key)

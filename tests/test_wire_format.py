@@ -143,7 +143,8 @@ def test_packed_wire_through_train_cli(tmp_path):
                              "signal_types": ["sine"]},
         "discriminator_train_start_steps": 0,
         "train_max_steps": 6, "save_interval_steps": 100000,
-        "eval_interval_steps": 100000, "log_interval_steps": 3,
+        "eval_interval_steps": 3, "log_interval_steps": 3,
+        "eval_batches": 1, "num_save_intermediate_results": 1,
         "loader_threads": 2, "steps_per_call": 3,
         "compute_dtype": "bfloat16", "wire_format": "packed",
     }
@@ -158,7 +159,8 @@ def test_packed_wire_through_train_cli(tmp_path):
                PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
     r = subprocess.run(
         [sys.executable, "-c", launch,
-         "--train-dumpdir", str(dump), "--outdir", str(tmp_path / "exp"),
+         "--train-dumpdir", str(dump), "--dev-dumpdir", str(dump),
+         "--outdir", str(tmp_path / "exp"),
          "--config", str(tmp_path / "config.yml"), "--n-devices", "1"],
         capture_output=True, text=True, env=env, cwd=repo, timeout=900,
     )
@@ -168,6 +170,14 @@ def test_packed_wire_through_train_cli(tmp_path):
     assert "wire: audio f32->int16" in out
     assert "frame-rate f32 (hop-constant)" in out
     assert "finished training" in out
+    # the eval-time intermediate dump must work on PACKED batches too
+    # (it reads batch["audio"] raw and runs _forward outside the jitted
+    # steps, so the loop unwires first — regression: the round-5 soak's
+    # dumps silently failed under the packed wire before this)
+    assert "intermediate dump failed" not in out
+    import glob as _glob
+    dumped = _glob.glob(str(tmp_path / "exp" / "predictions" / "*" / "*.wav"))
+    assert dumped, "eval intermediate wav dumps missing under packed wire"
 
     # guard: packed wire without bf16 compute must be refused
     cfg_bad = dict(cfg)
